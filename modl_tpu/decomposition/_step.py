@@ -1,0 +1,274 @@
+"""Pure-functional SOMF/OMF core: learner state pytree + jitted step.
+
+This is the TPU-native re-design of ``modl/decomposition/dict_fact.py``
+(reference call stack SURVEY.md 3.1). The reference mutates estimator
+attributes in-place across a thread pool; here the entire learner state is
+one immutable pytree and one jitted ``somf_step`` implements the whole
+``_single_batch_fit`` pipeline (dict_fact.py:495-526):
+
+    subset draw -> step weights -> code solve -> C/B statistics EMA ->
+    block coordinate descent on the dictionary (subset columns only).
+
+Epochs run as ``lax.scan`` over minibatches resident in HBM
+(``somf_scan``); streaming callers (fMRI, callbacks) call ``somf_step``
+per batch from the host.
+
+Everything here is side-effect free: no thread hazards exist by
+construction (the reference's snapshot race, dict_fact.py:535-543, has no
+counterpart), so refits with the same seed are bitwise reproducible.
+"""
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.enet import enet_norm, enet_projection
+from ..ops.sampler import draw_subset
+from ..ops.solvers import (enet_regression_multi_gram,
+                           enet_regression_single_gram)
+from ..ops.weights import batch_weight
+
+
+class SomfState(NamedTuple):
+    """All learner state (mirrors the attribute list dict_fact.py:223-249)."""
+    D: jax.Array                    # (k, n_features) dictionary
+    C: jax.Array                    # (k, k) code second-moment EMA
+    B: jax.Array                    # (k, n_features) code-data EMA
+    G: Optional[jax.Array]          # (k, k) Gram, only for G_agg == 'full'
+    comp_norm: jax.Array            # (k,) transient enet-norm budget
+    code: Optional[jax.Array]       # (n_samples, k) per-sample codes
+    Dx_avg: Optional[jax.Array]     # (n_samples, k), Dx_agg == 'average'
+    G_avg: Optional[jax.Array]      # (n_samples, k, k), G_agg == 'average'
+    n_iter: jax.Array               # () int32: samples seen
+    sample_n_iter: jax.Array        # (n_samples,) int32: visits per sample
+    box: jax.Array                  # (n_features,) sampler cycling box
+    cursor: jax.Array               # () int32 sampler cursor
+    key: jax.Array                  # PRNG key (sampler + BCD order)
+
+
+@dataclass(frozen=True)
+class SomfConfig:
+    """Static solver configuration (hashable -> jit cache key)."""
+    n_components: int
+    len_subset: int
+    reduction: float
+    Dx_agg: str                     # 'full' | 'masked' | 'average'
+    G_agg: str                      # 'full' | 'masked' | 'average'
+    optimizer: str                  # 'variational' | 'sgd'
+    learning_rate: float
+    sample_learning_rate: float
+    step_size: float
+    code_alpha: float
+    code_l1_ratio: float
+    comp_l1_ratio: float
+    code_pos: bool
+    comp_pos: bool
+    tol: float
+    max_iter: int
+    replacement: bool
+
+
+def _solve_code(state, X, sample_indices, w_sample, subset, cfg):
+    """Code computation with the three Dx/G estimators
+    (dict_fact.py:577-648). Returns (code_batch, Dx_avg', G_avg')."""
+    D = state.D
+    Dx_avg, G_avg = state.Dx_avg, state.G_avg
+    reduction = jnp.asarray(cfg.reduction, D.dtype)
+
+    if cfg.Dx_agg != 'full' or cfg.G_agg != 'full':
+        D_subset = jnp.take(D, subset, axis=1)          # (k, s)
+
+    if cfg.Dx_agg == 'full':
+        Dx = X @ D.T
+    else:
+        X_subset = jnp.take(X, subset, axis=1)          # (b, s)
+        Dx = (X_subset @ D_subset.T) * reduction
+        if cfg.Dx_agg == 'average':
+            old = Dx_avg[sample_indices]
+            Dx = old * (1.0 - w_sample[:, None]) + Dx * w_sample[:, None]
+            Dx_avg = Dx_avg.at[sample_indices].set(Dx)
+
+    if cfg.G_agg == 'full':
+        G = state.G
+    else:
+        G = (D_subset @ D_subset.T) * reduction
+        if cfg.G_agg == 'average':
+            old = G_avg[sample_indices]                  # (b, k, k)
+            G = (old * (1.0 - w_sample[:, None, None])
+                 + G[None] * w_sample[:, None, None])
+            G_avg = G_avg.at[sample_indices].set(G)
+
+    w0 = (state.code[sample_indices] if state.code is not None
+          else jnp.ones(Dx.shape, Dx.dtype))
+    if cfg.G_agg == 'average':
+        code = enet_regression_multi_gram(
+            w0, G, Dx, X, cfg.code_l1_ratio, cfg.code_alpha, cfg.code_pos,
+            cfg.tol, cfg.max_iter)
+    else:
+        code = enet_regression_single_gram(
+            w0, G, Dx, X, cfg.code_l1_ratio, cfg.code_alpha, cfg.code_pos,
+            cfg.tol, cfg.max_iter)
+    return code, Dx_avg, G_avg
+
+
+def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, key, cfg,
+                 n_features):
+    """Block coordinate descent on the subset columns (dict_fact.py:650-715).
+
+    The per-atom rank-1 residual maintenance (BLAS ``ger`` in the
+    reference) becomes outer-product updates inside a ``fori_loop`` over a
+    randomly permuted atom order; the enet-norm budget bookkeeping
+    (``comp_norm_``) is kept verbatim.
+    """
+    k = cfg.n_components
+    s = cfg.len_subset
+    dtype = D.dtype
+    D_subset = jnp.take(D, subset, axis=1)               # (k, s)
+    incremental_G = cfg.G_agg == 'full' and s < n_features / 2.0
+
+    if incremental_G:
+        G = G - D_subset @ D_subset.T
+
+    R = grad_subset - C @ D_subset                       # residual gradient
+
+    key, order_key = jax.random.split(key)
+    order = jax.random.permutation(order_key, k)
+
+    if cfg.optimizer == 'variational':
+        def body(j, carry):
+            D_s, R, cn = carry
+            kk = order[j]
+            Ck = C[kk]                                   # (k,)
+            Ckk = C[kk, kk]
+            Dk = D_s[kk]                                 # (s,)
+            budget = cn[kk] + enet_norm(Dk, cfg.comp_l1_ratio)
+            R = R + jnp.outer(Ck, Dk)
+            Dk_new = jnp.where(Ckk > 1e-20,
+                               R[kk] / jnp.where(Ckk > 1e-20, Ckk, 1.0),
+                               Dk)
+            if cfg.comp_pos:
+                Dk_new = jnp.maximum(Dk_new, 0.0)
+            Dk_new = enet_projection(Dk_new, budget, cfg.comp_l1_ratio)
+            budget = budget - enet_norm(Dk_new, cfg.comp_l1_ratio)
+            R = R - jnp.outer(Ck, Dk_new)
+            D_s = D_s.at[kk].set(Dk_new)
+            cn = cn.at[kk].set(budget)
+            return D_s, R, cn
+
+        D_subset, _, comp_norm = lax.fori_loop(
+            0, k, body, (D_subset, R, comp_norm))
+    else:  # 'sgd': projected gradient ascent on the surrogate
+        budgets = comp_norm + enet_norm(D_subset, cfg.comp_l1_ratio, axis=1)
+        D_new = D_subset + w * cfg.step_size * R
+        if cfg.comp_pos:
+            D_new = jnp.maximum(D_new, 0.0)
+        D_new = jax.vmap(
+            lambda row, r: enet_projection(row, r, cfg.comp_l1_ratio)
+        )(D_new, budgets)
+        comp_norm = budgets - enet_norm(D_new, cfg.comp_l1_ratio, axis=1)
+        D_subset = D_new
+
+    D = D.at[:, subset].set(D_subset)
+
+    if cfg.G_agg == 'full':
+        if incremental_G:
+            G = G + D_subset @ D_subset.T
+        else:
+            G = D @ D.T
+    return D, G, comp_norm, key
+
+
+def somf_step(state: SomfState, X, sample_indices, cfg: SomfConfig):
+    """One minibatch update (dict_fact.py:495-526, serial semantics)."""
+    dtype = state.D.dtype
+    b = X.shape[0]
+    n_features = state.D.shape[1]
+
+    # --- feature subset (sampler.pyx via traced cycling box) ---
+    subset, box, cursor, key = draw_subset(
+        state.box, state.cursor, state.key, cfg.len_subset, cfg.replacement)
+
+    # --- step weights ---
+    n_iter = state.n_iter + b
+    sample_n_iter = state.sample_n_iter.at[sample_indices].add(1)
+    this_sni = sample_n_iter[sample_indices]
+    w_sample = jnp.asarray(this_sni, dtype) ** (-cfg.sample_learning_rate)
+    w = jnp.asarray(
+        batch_weight(n_iter, b, cfg.learning_rate, 0.0, dtype=dtype), dtype)
+
+    # --- code ---
+    state = state._replace(key=key)
+    code_batch, Dx_avg, G_avg = _solve_code(
+        state, X, sample_indices, w_sample, subset, cfg)
+    code = (state.code.at[sample_indices].set(code_batch)
+            if state.code is not None else None)
+
+    # --- surrogate statistics (dict_fact.py:559-575) ---
+    if cfg.optimizer == 'variational':
+        C = state.C * (1.0 - w) + w * (code_batch.T @ code_batch) / b
+        B = state.B * (1.0 - w) + w * (code_batch.T @ X) / b
+    else:
+        C = (code_batch.T @ code_batch) / b
+        B = (code_batch.T @ X) / b
+
+    # --- dictionary update on the subset columns ---
+    grad_subset = jnp.take(B, subset, axis=1)
+    D, G, comp_norm, key = _update_dict(
+        state.D, state.G, state.comp_norm, C, grad_subset, subset, w, key,
+        cfg, n_features)
+
+    return SomfState(D=D, C=C, B=B, G=G, comp_norm=comp_norm, code=code,
+                     Dx_avg=Dx_avg, G_avg=G_avg, n_iter=n_iter,
+                     sample_n_iter=sample_n_iter, box=box, cursor=cursor,
+                     key=key)
+
+
+somf_step_jit = jax.jit(somf_step, static_argnames=("cfg",))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def somf_scan(state: SomfState, X_batches, idx_batches, cfg: SomfConfig):
+    """Fused epoch segment: scan ``somf_step`` over stacked minibatches.
+
+    X_batches: (n_batches, batch_size, n_features) resident in HBM.
+    """
+    def body(carry, inp):
+        Xb, idxb = inp
+        return somf_step(carry, Xb, idxb, cfg), None
+
+    state, _ = lax.scan(body, state, (X_batches, idx_batches))
+    return state
+
+
+@partial(jax.jit, static_argnames=("code_l1_ratio", "code_alpha", "code_pos",
+                                   "tol", "max_iter"))
+def compute_code(D, G, X, code_l1_ratio, code_alpha, code_pos, tol, max_iter):
+    """Inference path: codes for new data rows (CodingMixin.transform,
+    dict_fact.py:47-92). ``G`` may be None -> recomputed from D."""
+    if G is None:
+        G = D @ D.T
+    Dx = X @ D.T
+    w0 = jnp.ones(Dx.shape, Dx.dtype)
+    return enet_regression_single_gram(
+        w0, G, Dx, X, code_l1_ratio, code_alpha, code_pos, tol, max_iter)
+
+
+@partial(jax.jit, static_argnames=("code_l1_ratio", "code_alpha", "code_pos",
+                                   "tol", "max_iter"))
+def objective_value(D, G, X, code_l1_ratio, code_alpha, code_pos, tol,
+                    max_iter):
+    """Penalised reconstruction objective (dict_fact.py:94-114)."""
+    code = compute_code(D, G, X, code_l1_ratio, code_alpha, code_pos, tol,
+                        max_iter)
+    loss = jnp.sum((X - code @ D) ** 2) / 2.0
+    regul = code_alpha * (jnp.sum(jnp.abs(code)) * code_l1_ratio
+                          + (1.0 - code_l1_ratio) * jnp.sum(code ** 2) / 2.0)
+    return (loss + regul) / X.shape[0]
+
+
+@partial(jax.jit, static_argnames=("axis",))
+def apply_permutation(arr, perm, axis=0):
+    return jnp.take(arr, perm, axis=axis)

@@ -1,0 +1,437 @@
+"""DictFact: sklearn-compatible SOMF/OMF estimator over the jitted core.
+
+Public API mirrors the reference ``modl/decomposition/dict_fact.py``
+(``DictFact``, ``Coder``, ``CodingMixin``: fit / partial_fit / prepare /
+transform / score / shuffle / set_params, same hyper-parameter names and
+semantics). Internals are TPU-native: all learner state is a
+``SomfState`` pytree updated by one jitted step; epochs without callbacks
+run as a fused ``lax.scan`` over device-resident minibatches.
+
+Deviations from the reference (documented):
+- ``rand_size=True`` (Binomial subset sizes, sampler.pyx:44-47) is
+  accepted but subsets always have the fixed size ``n_features //
+  reduction`` - TPU programs need static shapes. The subset-size *mean*
+  matches the reference's default.
+- ``n_threads`` is accepted and ignored: parallelism comes from XLA
+  fusion and (optionally) a device mesh, not a thread pool.
+- RNG is numpy (host orchestration) + threefry (traced sampler/BCD order)
+  instead of MT19937: seeds give self-consistent reproducibility, not
+  bit-parity with the reference.
+"""
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from sklearn.base import BaseEstimator, TransformerMixin
+from sklearn.utils import check_array, check_random_state, gen_batches
+from sklearn.utils.validation import check_is_fitted
+
+from ..ops.enet import enet_scale
+from ..ops.sampler import init_sampler_state
+from ..utils import get_sub_slice
+from ._step import (SomfConfig, SomfState, apply_permutation, compute_code,
+                    objective_value, somf_scan, somf_step_jit)
+
+MAX_INT = np.iinfo(np.int32).max
+
+
+def _default_dtype(dtype):
+    """Map requested dtype through JAX's x64 policy."""
+    dtype = np.dtype(dtype)
+    if dtype == np.float64 and not jax.config.jax_enable_x64:
+        return np.dtype(np.float32)
+    if dtype not in (np.dtype(np.float32), np.dtype(np.float64),
+                     np.dtype(jnp.bfloat16)):
+        return np.dtype(np.float32)
+    return dtype
+
+
+class CodingMixin(TransformerMixin):
+    """Shared transform/score over a fitted dictionary
+    (dict_fact.py:23-124)."""
+
+    def _set_coding_params(self, n_components,
+                           code_alpha=1, code_l1_ratio=1, tol=1e-2,
+                           max_iter=100, code_pos=False, random_state=None,
+                           n_threads=1):
+        self.n_components = n_components
+        self.code_l1_ratio = code_l1_ratio
+        self.code_alpha = code_alpha
+        self.code_pos = code_pos
+        self.random_state = random_state
+        self.tol = tol
+        self.max_iter = max_iter
+        self.n_threads = n_threads  # accepted for API parity; XLA parallelises
+
+    def _transform_gram(self):
+        """G to use at transform time: the maintained Gram iff exact."""
+        if getattr(self, 'G_agg', None) == 'full' and hasattr(self, '_state') \
+                and self._state.G is not None:
+            return self._state.G
+        return None
+
+    def transform(self, X):
+        """Codes for rows of X on the current dictionary (b, k)."""
+        check_is_fitted(self, 'components_')
+        D = self._components_device()
+        X = jnp.asarray(np.asarray(X), D.dtype)
+        G = self._transform_gram()
+        code = compute_code(D, G, X, float(self.code_l1_ratio),
+                            float(self.code_alpha), bool(self.code_pos),
+                            float(self.tol), int(self.max_iter))
+        return np.asarray(code)
+
+    def score(self, X):
+        """Penalised objective on X (lower is better), dict_fact.py:94-114."""
+        check_is_fitted(self, 'components_')
+        D = self._components_device()
+        X = jnp.asarray(np.asarray(X), D.dtype)
+        G = self._transform_gram()
+        return float(objective_value(D, G, X, float(self.code_l1_ratio),
+                                     float(self.code_alpha),
+                                     bool(self.code_pos), float(self.tol),
+                                     int(self.max_iter)))
+
+    def _components_device(self):
+        if hasattr(self, '_state') and self._state is not None:
+            return self._state.D
+        return jnp.asarray(self.components_)
+
+
+class DictFact(CodingMixin, BaseEstimator):
+    """Streaming matrix factorisation with stochastic subsampling (SOMF).
+
+    Solves, over a stream of sample rows,
+        min_{D in enet-ball^k, A}  1/2 ||X - A D||^2
+            + code_alpha * (code_l1_ratio ||A||_1
+                            + (1 - code_l1_ratio)/2 ||A||_2^2)
+    touching only ``n_features / reduction`` random feature columns per
+    step. Parameters, attributes and methods mirror the reference
+    ``DictFact`` (dict_fact.py:127-721); see module docstring for the
+    documented deviations.
+    """
+
+    def __init__(self,
+                 reduction=1,
+                 learning_rate=1,
+                 sample_learning_rate=0.76,
+                 Dx_agg='masked',
+                 G_agg='masked',
+                 optimizer='variational',
+                 dict_init=None,
+                 code_alpha=1,
+                 code_l1_ratio=1,
+                 comp_l1_ratio=0,
+                 step_size=1,
+                 tol=1e-2,
+                 max_iter=100,
+                 code_pos=False,
+                 comp_pos=False,
+                 random_state=None,
+                 n_epochs=1,
+                 n_components=10,
+                 batch_size=10,
+                 verbose=0,
+                 callback=None,
+                 n_threads=1,
+                 rand_size=True,
+                 replacement=True,
+                 dtype=None,
+                 mesh=None,
+                 ):
+        self.batch_size = batch_size
+        self.learning_rate = learning_rate
+        self.sample_learning_rate = sample_learning_rate
+        self.Dx_agg = Dx_agg
+        self.G_agg = G_agg
+        self.reduction = reduction
+        self.dict_init = dict_init
+        self._set_coding_params(n_components,
+                                code_l1_ratio=code_l1_ratio,
+                                code_alpha=code_alpha,
+                                code_pos=code_pos,
+                                random_state=random_state,
+                                tol=tol, max_iter=max_iter,
+                                n_threads=n_threads)
+        self.comp_l1_ratio = comp_l1_ratio
+        self.comp_pos = comp_pos
+        self.optimizer = optimizer
+        self.step_size = step_size
+        self.n_epochs = n_epochs
+        self.verbose = verbose
+        self.callback = callback
+        self.rand_size = rand_size
+        self.replacement = replacement
+        self.dtype = dtype
+        self.mesh = mesh
+
+    # ------------------------------------------------------------------ #
+    # state plumbing
+    # ------------------------------------------------------------------ #
+
+    def _make_config(self, n_features):
+        reduction = float(self.reduction)
+        if self.optimizer == 'sgd':
+            reduction = 1.0
+        len_subset = max(1, int(n_features / reduction))
+        G_agg = self.G_agg
+        Dx_agg = self.Dx_agg
+        if self.optimizer == 'sgd':
+            G_agg, Dx_agg = 'full', 'full'
+        return SomfConfig(
+            n_components=int(self.n_components),
+            len_subset=len_subset,
+            reduction=reduction,
+            Dx_agg=Dx_agg,
+            G_agg=G_agg,
+            optimizer=self.optimizer,
+            learning_rate=float(self.learning_rate),
+            sample_learning_rate=float(self.sample_learning_rate),
+            step_size=float(self.step_size),
+            code_alpha=float(self.code_alpha),
+            code_l1_ratio=float(self.code_l1_ratio),
+            comp_l1_ratio=float(self.comp_l1_ratio),
+            code_pos=bool(self.code_pos),
+            comp_pos=bool(self.comp_pos),
+            tol=float(self.tol),
+            max_iter=int(self.max_iter),
+            replacement=bool(self.replacement),
+        )
+
+    def prepare(self, n_samples=None, n_features=None, dtype=None, X=None):
+        """Allocate all learner state (dict_fact.py:381-489)."""
+        if X is not None:
+            X = check_array(X, order='C', dtype=[np.float32, np.float64])
+            if dtype is None:
+                dtype = X.dtype
+            if n_samples is None:
+                n_samples = X.shape[0]
+            if n_features is None:
+                n_features = X.shape[1]
+            elif n_features != X.shape[1]:
+                raise ValueError('n_features and X do not match')
+        else:
+            if n_features is None or n_samples is None:
+                raise ValueError('Either provide shape or data to prepare.')
+            if dtype is None:
+                dtype = np.float64
+        if self.optimizer not in ('variational', 'sgd'):
+            raise ValueError("optimizer should be 'variational' or 'sgd'")
+        if self.dtype is not None:
+            dtype = self.dtype
+        dtype = _default_dtype(dtype)
+
+        self.random_state = check_random_state(self.random_state)
+        k = self.n_components
+
+        # dictionary init: first k rows of X (dict_fact.py:459-461) or randn
+        if X is None:
+            D0 = self.random_state.randn(k, n_features)
+        else:
+            if X.shape[0] < k:
+                raise ValueError('Need at least n_components rows to init')
+            D0 = np.array(X[:k], dtype=np.float64, copy=True)
+        if self.comp_pos:
+            D0 = np.abs(D0)
+        D0 = np.asarray(D0, dtype)
+        D = enet_scale(jnp.asarray(D0), float(self.comp_l1_ratio), radius=1.0)
+
+        cfg = self._make_config(n_features)
+        self._cfg = cfg
+        self._n_features = int(n_features)
+        self._n_samples = int(n_samples)
+        self._dtype = dtype
+
+        sampler_seed = self.random_state.randint(MAX_INT)
+        key = jax.random.PRNGKey(sampler_seed)
+        key, box_key = jax.random.split(key)
+        box, cursor = init_sampler_state(n_features, box_key)
+
+        G = (D @ D.T).astype(dtype) if cfg.G_agg == 'full' else None
+        Dx_avg = (jnp.zeros((n_samples, k), dtype)
+                  if cfg.Dx_agg == 'average' else None)
+        G_avg = (jnp.zeros((n_samples, k, k), dtype)
+                 if cfg.G_agg == 'average' else None)
+
+        self._state = SomfState(
+            D=jnp.asarray(D, dtype),
+            C=jnp.zeros((k, k), dtype),
+            B=jnp.zeros((k, n_features), dtype),
+            G=G,
+            comp_norm=jnp.zeros((k,), dtype),
+            code=jnp.ones((n_samples, k), dtype),
+            Dx_avg=Dx_avg,
+            G_avg=G_avg,
+            n_iter=jnp.zeros((), jnp.int32),
+            sample_n_iter=jnp.zeros((n_samples,), jnp.int32),
+            box=box,
+            cursor=cursor,
+            key=key,
+        )
+        self.labels_ = np.arange(n_samples)
+        if self.verbose:
+            self.verbose_iter_ = np.linspace(
+                0, n_samples * self.n_epochs, self.verbose).tolist()
+        self.time_ = 0.0
+        return self
+
+    # sklearn-style trailing-underscore views over the state pytree ----- #
+
+    @property
+    def components_(self):
+        return np.asarray(self._state.D)
+
+    @property
+    def code_(self):
+        return np.asarray(self._state.code)
+
+    @property
+    def C_(self):
+        return np.asarray(self._state.C)
+
+    @property
+    def B_(self):
+        return np.asarray(self._state.B)
+
+    @property
+    def G_(self):
+        return np.asarray(self._state.G) if self._state.G is not None else None
+
+    @property
+    def Dx_average_(self):
+        return (np.asarray(self._state.Dx_avg)
+                if self._state.Dx_avg is not None else None)
+
+    @property
+    def G_average_(self):
+        return (np.asarray(self._state.G_avg)
+                if self._state.G_avg is not None else None)
+
+    @property
+    def n_iter_(self):
+        return int(self._state.n_iter)
+
+    @property
+    def sample_n_iter_(self):
+        return np.asarray(self._state.sample_n_iter)
+
+    # ------------------------------------------------------------------ #
+    # fitting
+    # ------------------------------------------------------------------ #
+
+    def fit(self, X, y=None):
+        """Full factorisation: prepare + n_epochs x (partial_fit + shuffle)
+        (dict_fact.py:286-311)."""
+        X = check_array(X, order='C', dtype=[np.float32, np.float64])
+        dict_init = X if self.dict_init is None else check_array(
+            self.dict_init, dtype=X.dtype.type)
+        self.prepare(n_samples=X.shape[0], X=dict_init, dtype=X.dtype)
+        X_dev = jnp.asarray(X, self._dtype)
+        for _ in range(self.n_epochs):
+            self._partial_fit_device(X_dev, None)
+            perm = self.shuffle()
+            X_dev = apply_permutation(X_dev, jnp.asarray(perm))
+        return self
+
+    def partial_fit(self, X, sample_indices=None):
+        """Stream rows of X through the learner (dict_fact.py:313-337)."""
+        X = check_array(X, dtype=[np.float32, np.float64], order='C')
+        X_dev = jnp.asarray(X, self._dtype)
+        self._partial_fit_device(X_dev, sample_indices)
+        return self
+
+    def _partial_fit_device(self, X_dev, sample_indices):
+        import time as _time
+        t0 = _time.perf_counter()
+        n = X_dev.shape[0]
+        b = min(self.batch_size, n)
+        cfg = self._cfg
+        if sample_indices is None:
+            idx = jnp.arange(n, dtype=jnp.int32)
+        elif isinstance(sample_indices, slice):
+            idx = jnp.arange(sample_indices.start, sample_indices.stop,
+                             dtype=jnp.int32)
+        else:
+            idx = jnp.asarray(np.asarray(sample_indices), jnp.int32)
+
+        interactive = bool(self.verbose) or (self.callback is not None)
+        n_full = n // b
+        if interactive:
+            for batch in gen_batches(n, b):
+                if (self.verbose and getattr(self, 'verbose_iter_', None)
+                        and self.n_iter_ >= self.verbose_iter_[0]):
+                    print('Iteration %i' % self.n_iter_)
+                    self.verbose_iter_ = self.verbose_iter_[1:]
+                    self._callback()
+                self._state = somf_step_jit(
+                    self._state, X_dev[batch], idx[batch], cfg)
+        else:
+            if n_full > 0:
+                Xb = X_dev[:n_full * b].reshape(n_full, b, -1)
+                ib = idx[:n_full * b].reshape(n_full, b)
+                self._state = somf_scan(self._state, Xb, ib, cfg)
+            if n_full * b < n:
+                self._state = somf_step_jit(
+                    self._state, X_dev[n_full * b:], idx[n_full * b:], cfg)
+        self._state.D.block_until_ready()
+        self.time_ += _time.perf_counter() - t0
+
+    def _callback(self):
+        if self.callback is not None:
+            self.callback(self)
+
+    def shuffle(self):
+        """Co-shuffle per-sample state; return the permutation used
+        (dict_fact.py:359-379)."""
+        seed = self.random_state.randint(MAX_INT)
+        perm = np.random.RandomState(seed).permutation(self._n_samples)
+        perm_dev = jnp.asarray(perm)
+        st = self._state
+        code = (apply_permutation(st.code, perm_dev)
+                if st.code is not None else None)
+        G_avg = (apply_permutation(st.G_avg, perm_dev)
+                 if st.G_avg is not None else None)
+        Dx_avg = (apply_permutation(st.Dx_avg, perm_dev)
+                  if st.Dx_avg is not None else None)
+        sni = apply_permutation(st.sample_n_iter, perm_dev)
+        self._state = st._replace(code=code, G_avg=G_avg, Dx_avg=Dx_avg,
+                                  sample_n_iter=sni)
+        self.labels_ = self.labels_[perm]
+        return perm
+
+    def set_params(self, **params):
+        """set_params with the G_agg='full' mid-run upgrade hook
+        (dict_fact.py:339-357)."""
+        G_agg = params.pop('G_agg', None)
+        if G_agg == 'full' and self.G_agg != 'full':
+            if hasattr(self, '_state'):
+                st = self._state
+                self._state = st._replace(G=st.D @ st.D.T)
+            self.G_agg = 'full'
+        elif G_agg is not None:
+            self.G_agg = G_agg
+        BaseEstimator.set_params(self, **params)
+        if hasattr(self, '_n_features'):
+            self._cfg = self._make_config(self._n_features)
+        return self
+
+
+class Coder(CodingMixin, BaseEstimator):
+    """Fixed-dictionary encoder (dict_fact.py:724-745)."""
+
+    def __init__(self, dictionary,
+                 code_alpha=1, code_l1_ratio=1, tol=1e-2, max_iter=100,
+                 code_pos=False, random_state=None, n_threads=1):
+        self._set_coding_params(dictionary.shape[0],
+                                code_l1_ratio=code_l1_ratio,
+                                code_alpha=code_alpha,
+                                code_pos=code_pos,
+                                random_state=random_state,
+                                tol=tol, max_iter=max_iter,
+                                n_threads=n_threads)
+        self.components_ = np.asarray(dictionary)
+
+    def fit(self, X=None, y=None):
+        return self

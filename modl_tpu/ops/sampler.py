@@ -1,0 +1,125 @@
+"""Random feature-subset generation (the SOMF "reduction" trick).
+
+Replaces ``modl/utils/randomkit/sampler.pyx`` (Mersenne-Twister + Cython
+box shuffles) with two TPU-native pieces:
+
+1. ``draw_subset`` - a *traced* fixed-size sampler usable inside a jitted
+   step. State is ``(box, cursor, key)`` carried in the learner pytree:
+   - ``replacement=True``: reshuffle the box every call, take a prefix
+     (sampler.pyx:49-52).
+   - ``replacement=False``: cycle through the shuffled box so consecutive
+     subsets partition the feature set; when fewer than ``len_subset``
+     unseen features remain, the unseen tail is kept first (in order) and
+     the already-seen head is reshuffled behind it (sampler.pyx:53-69).
+     The tail-preserving reshuffle is expressed as a roll + keyed argsort
+     so every branch is shape-static.
+
+   TPU requires static shapes, so subsets have fixed size
+   ``len_subset = n // reduction`` (the reference's ``rand_size=False``
+   mode, sampler.pyx:48). The Binomial-size mode (``rand_size=True``)
+   has no static-shape equivalent; estimators accept the flag but always
+   use fixed-size subsets (documented deviation; the subset-size *mean*
+   matches).
+
+2. ``Sampler`` - a host-side, eager replica of the reference class
+   (including ``rand_size``) for API parity and for host-driven
+   pipelines. Backed by numpy Generator instead of randomkit MT19937;
+   golden values differ, distributional properties match.
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["init_sampler_state", "draw_subset", "Sampler"]
+
+
+def init_sampler_state(n_features, seed_key):
+    """Initial (box, cursor) for the traced sampler: a shuffled arange.
+
+    Mirrors sampler.pyx:34-39 (permutation then an extra shuffle).
+    """
+    box = jax.random.permutation(seed_key, n_features).astype(jnp.int32)
+    return box, jnp.int32(0)
+
+
+def draw_subset(box, cursor, key, len_subset, replacement):
+    """Draw the next feature subset; returns (subset, box, cursor, key).
+
+    ``len_subset`` and ``replacement`` are static; everything else traced.
+    """
+    n = box.shape[0]
+    k_draw, k_next = jax.random.split(key)
+
+    if replacement:
+        box = jax.random.permutation(k_draw, box)
+        subset = box[:len_subset]
+        return subset, box, jnp.int32(len_subset), k_next
+
+    remainder = n - cursor
+    needs_reshuffle = remainder < len_subset
+
+    # Candidate reshuffled box: unseen tail first (original order), the
+    # already-seen head randomly permuted behind it. A keyed argsort makes
+    # this shape-static: negative ascending keys pin the tail, uniform
+    # keys shuffle the rest.
+    rolled = jnp.roll(box, -cursor)
+    idx = jnp.arange(n)
+    rand = jax.random.uniform(k_draw, (n,))
+    sort_key = jnp.where(idx < remainder, idx.astype(rand.dtype) - n, rand)
+    reshuffled = rolled[jnp.argsort(sort_key)]
+
+    box = jnp.where(needs_reshuffle, reshuffled, box)
+    start = jnp.where(needs_reshuffle, 0, cursor)
+    subset = jax.lax.dynamic_slice(box, (start,), (len_subset,))
+    cursor = (start + len_subset).astype(jnp.int32)
+    return subset, box, cursor, k_next
+
+
+class Sampler:
+    """Host-side eager sampler, API-compatible with the reference class.
+
+    Parameters mirror ``sampler.pyx:10-39``: ``range_`` (number of
+    features), ``rand_size`` (Binomial subset sizes), ``replacement``
+    (reshuffle per call vs cycling partition), ``random_seed``.
+    """
+
+    def __init__(self, range_, rand_size=True, replacement=True,
+                 random_seed=None):
+        self.range = int(range_)
+        self.rand_size = bool(rand_size)
+        self.replacement = bool(replacement)
+        self.random_state = np.random.RandomState(random_seed)
+        self.box = self.random_state.permutation(self.range)
+        self.lim_sup = 0
+        self.lim_inf = 0
+        self.random_state.shuffle(self.box)
+
+    def yield_subset(self, reduction):
+        if self.rand_size:
+            len_subset = self.random_state.binomial(self.range,
+                                                    1.0 / reduction)
+        else:
+            len_subset = int(self.range / reduction)
+        if self.replacement:
+            self.random_state.shuffle(self.box)
+            self.lim_inf = 0
+            self.lim_sup = len_subset
+        else:
+            if self.range != len_subset:
+                self.lim_inf = self.lim_sup
+                remainder = self.range - self.lim_inf
+                if remainder == 0:
+                    self.random_state.shuffle(self.box)
+                    self.lim_inf = 0
+                elif remainder < len_subset:
+                    temp = self.box[:remainder].copy()
+                    self.box[:remainder] = self.box[self.lim_inf:]
+                    self.box[self.lim_inf:] = temp
+                    self.random_state.shuffle(self.box[remainder:])
+                    self.lim_inf = 0
+                self.lim_sup = self.lim_inf + len_subset
+            else:
+                self.lim_inf = 0
+                self.lim_sup = self.range
+        return np.array(self.box[self.lim_inf:self.lim_sup])
