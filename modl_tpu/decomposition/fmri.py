@@ -1,0 +1,398 @@
+"""fMRI dictionary learning: sparse spatial maps from rest-fMRI streams.
+
+TPU-native re-design of ``modl/decomposition/fmri.py``. The estimator
+logic (method table fmri.py:440-463, lazy record scan :559-574, permuted
+epoch loop with io/cpu time split :500-544, epoch-5 Gram upgrade,
+reduction annealing, sign-flip postprocess :549-556) is preserved over a
+backend-agnostic masker interface: the native path masks 4-D numpy
+arrays / pre-unmasked ``.npy`` records (``NumpyMasker`` /
+``MultiRawMasker``); NIfTI inputs work when nilearn is installed.
+
+The DictFact core runs every partial_fit as jitted TPU steps; the host
+side is a prefetching record loop (IO) feeding the device (compute),
+mirroring the reference's io_time/cpu_time accounting.
+"""
+import itertools
+import time
+from math import sqrt
+
+import numpy as np
+from sklearn.base import TransformerMixin
+from sklearn.utils import check_random_state
+
+from ..input_data.fmri.base import (BaseNilearnEstimator, NumpyMasker,
+                                    check_embedded_masker)
+from .dict_fact import Coder, DictFact
+
+__all__ = ["fMRIDictFact", "fMRICoder", "fMRICoderMixin",
+           "rfMRIDictionaryScorer"]
+
+
+def _lazy_scan(imgs):
+    """Record lengths + dtype without loading voxel data (fmri.py:559-574)."""
+    n_samples_list = []
+    dtype = np.float32
+    for img in imgs:
+        if isinstance(img, str) and img.endswith('.npy'):
+            arr = np.load(img, mmap_mode='r')
+            n = arr.shape[0]
+            dtype = arr.dtype
+        elif isinstance(img, np.ndarray):
+            n = img.shape[-1] if img.ndim == 4 else img.shape[0]
+            dtype = img.dtype
+        else:  # NIfTI path via nilearn
+            from nilearn._utils import check_niimg  # pragma: no cover
+            ni = check_niimg(img)
+            n = ni.shape[3]
+            dtype = ni.get_data_dtype()
+        n_samples_list.append(int(n))
+    return n_samples_list, np.dtype(dtype)
+
+
+def _flip(components):
+    """Flip each component's sign so its positive part dominates
+    (fmri.py:549-556)."""
+    components = components.copy()
+    for component in components:
+        if np.sum(component < 0) > np.sum(component > 0):
+            component *= -1
+    return components
+
+
+def _check_dict_init(dict_init, masker, n_components=None):
+    """(fmri.py:406-420) accept ndarray dictionaries or maskable images."""
+    if dict_init is None:
+        return None
+    if isinstance(dict_init, np.ndarray) and dict_init.ndim == 2:
+        components = dict_init
+    else:
+        components = masker.transform(dict_init)
+        if isinstance(components, list):
+            components = np.concatenate(components, axis=0)
+    if n_components is not None:
+        return components[:n_components]
+    return components
+
+
+class fMRICoderMixin(BaseNilearnEstimator, TransformerMixin):
+    """Masker + fixed-dictionary coding over image lists
+    (fmri.py:40-163)."""
+
+    def __init__(self, n_components=20, alpha=0.1, dict_init=None,
+                 transform_batch_size=None, mask=None, smoothing_fwhm=None,
+                 standardize=True, detrend=True, low_pass=None,
+                 high_pass=None, t_r=None, target_affine=None,
+                 target_shape=None, mask_strategy='background',
+                 mask_args=None, memory=None, memory_level=2, n_jobs=1,
+                 verbose=0):
+        BaseNilearnEstimator.__init__(
+            self, mask=mask, smoothing_fwhm=smoothing_fwhm,
+            standardize=standardize, detrend=detrend, low_pass=low_pass,
+            high_pass=high_pass, t_r=t_r, target_affine=target_affine,
+            target_shape=target_shape, mask_strategy=mask_strategy,
+            mask_args=mask_args, memory=memory, memory_level=memory_level,
+            n_jobs=n_jobs, verbose=verbose)
+        self.n_components = n_components
+        self.transform_batch_size = transform_batch_size
+        self.dict_init = dict_init
+        self.alpha = alpha
+
+    def fit(self, imgs=None, y=None, confounds=None):
+        if imgs is not None:
+            BaseNilearnEstimator.fit(self, imgs, confounds=confounds)
+        elif self.dict_init is not None:
+            BaseNilearnEstimator.fit(self, self.dict_init)
+        else:
+            BaseNilearnEstimator.fit(self)
+        self.components_ = _check_dict_init(self.dict_init, self.masker_,
+                                            self.n_components)
+        if self.components_ is not None:
+            self.components_img_ = self.masker_.inverse_transform(
+                self.components_)
+            self.coder_ = Coder(dictionary=self.components_,
+                                code_alpha=self.alpha,
+                                code_l1_ratio=0,
+                                n_threads=self.n_jobs).fit()
+        return self
+
+    def _imgs_list(self, imgs):
+        if isinstance(imgs, str) or isinstance(imgs, np.ndarray) \
+                or not hasattr(imgs, '__iter__'):
+            return [imgs]
+        return list(imgs)
+
+    def transform(self, imgs, confounds=None):
+        """Per-record code loadings (fmri.py:135-163)."""
+        imgs = self._imgs_list(imgs)
+        if confounds is None:
+            confounds = itertools.repeat(None)
+        codes = []
+        for img, conf in zip(imgs, confounds):
+            data = self.masker_.transform(img, confounds=conf)
+            codes.append(self.coder_.transform(data))
+        return codes
+
+    def score(self, imgs, confounds=None):
+        """Length-weighted mean objective over records (fmri.py:95-133)."""
+        imgs = self._imgs_list(imgs)
+        if confounds is None:
+            confounds = itertools.repeat(None)
+        scores, lens = [], []
+        for img, conf in zip(imgs, confounds):
+            data = self.masker_.transform(img, confounds=conf)
+            scores.append(self.coder_.score(data))
+            lens.append(data.shape[0])
+        scores = np.array(scores)
+        lens = np.array(lens)
+        return float(np.sum(scores * lens) / np.sum(lens))
+
+
+class fMRIDictFact(fMRICoderMixin):
+    """Sparse spatial-map dictionary learning on fMRI records
+    (fmri.py:166-376).
+
+    method: one of {'masked', 'dictionary only', 'gram', 'average',
+    'reducing ratio', 'sgd'} -> (G_agg, Dx_agg, optimizer) table.
+    """
+
+    methods = {'masked': {'G_agg': 'masked', 'Dx_agg': 'masked'},
+               'dictionary only': {'G_agg': 'full', 'Dx_agg': 'full'},
+               'gram': {'G_agg': 'masked', 'Dx_agg': 'masked'},
+               'average': {'G_agg': 'average', 'Dx_agg': 'average'},
+               'reducing ratio': {'G_agg': 'masked', 'Dx_agg': 'masked'}}
+
+    def __init__(self, method='masked', n_components=20, n_epochs=1,
+                 alpha=0.1, dict_init=None, random_state=None,
+                 batch_size=20, reduction=1, learning_rate=1,
+                 positive=False, step_size=1, transform_batch_size=None,
+                 mask=None, smoothing_fwhm=None, standardize=True,
+                 detrend=True, low_pass=None, high_pass=None, t_r=None,
+                 target_affine=None, target_shape=None,
+                 mask_strategy='background', mask_args=None, memory=None,
+                 memory_level=2, n_jobs=1, verbose=0, callback=None):
+        fMRICoderMixin.__init__(
+            self, n_components=n_components, alpha=alpha,
+            dict_init=dict_init, mask=mask, smoothing_fwhm=smoothing_fwhm,
+            standardize=standardize, detrend=detrend, low_pass=low_pass,
+            high_pass=high_pass, t_r=t_r,
+            transform_batch_size=transform_batch_size,
+            target_affine=target_affine, target_shape=target_shape,
+            mask_strategy=mask_strategy, mask_args=mask_args, memory=memory,
+            memory_level=memory_level, n_jobs=n_jobs, verbose=verbose)
+        self.method = method
+        self.n_epochs = n_epochs
+        self.batch_size = batch_size
+        self.reduction = reduction
+        self.learning_rate = learning_rate
+        self.positive = positive
+        self.step_size = step_size
+        self.random_state = random_state
+        self.callback = callback
+
+    def fit(self, imgs=None, y=None, confounds=None):
+        if imgs is None:
+            return fMRICoderMixin.fit(self)
+        imgs = self._imgs_list(imgs)
+        fMRICoderMixin.fit(self, imgs)
+
+        compute = self._compute_components
+        if self.memory is not None:
+            from joblib import Memory
+            memory = (self.memory if isinstance(self.memory, Memory)
+                      else Memory(location=self.memory, verbose=0))
+            compute = memory.cache(self._compute_components,
+                                   ignore=['self'])
+            self.components_ = compute(imgs, confounds=confounds)
+        else:
+            self.components_ = compute(imgs, confounds=confounds)
+        self.components_img_ = self.masker_.inverse_transform(
+            self.components_)
+        self.coder_ = Coder(dictionary=self.components_,
+                            code_alpha=self.alpha, code_l1_ratio=0,
+                            n_threads=self.n_jobs).fit()
+        return self
+
+    def _compute_components(self, imgs, confounds=None):
+        """The record-streaming training driver (fmri.py:423-546)."""
+        masker = self.masker_
+        method = self.method
+        reduction = self.reduction
+        random_state = check_random_state(self.random_state)
+
+        dict_init = _check_dict_init(self.dict_init, masker,
+                                     self.n_components)
+        n_components = self.n_components
+        if dict_init is not None:
+            n_components = dict_init.shape[0]
+
+        if method == 'sgd':
+            optimizer = 'sgd'
+            G_agg, Dx_agg = 'full', 'full'
+            reduction = 1
+        else:
+            table = fMRIDictFact.methods[method]
+            G_agg, Dx_agg = table['G_agg'], table['Dx_agg']
+            optimizer = 'variational'
+
+        if self.verbose:
+            print('Scanning data')
+        n_records = len(imgs)
+        if confounds is None:
+            confounds = list(itertools.repeat(None, n_records))
+        data_list = list(zip(imgs, confounds))
+        n_samples_list, dtype = _lazy_scan(imgs)
+        indices_list = np.zeros(len(imgs) + 1, dtype='int')
+        indices_list[1:] = np.cumsum(n_samples_list)
+        n_samples = int(indices_list[-1])
+        n_voxels = self._count_voxels(masker, imgs)
+
+        if self.verbose:
+            print('Learning...')
+        dict_fact = DictFact(n_components=n_components,
+                             code_alpha=self.alpha,
+                             code_l1_ratio=0,
+                             comp_l1_ratio=1,
+                             comp_pos=self.positive,
+                             reduction=reduction,
+                             Dx_agg=Dx_agg,
+                             optimizer=optimizer,
+                             step_size=self.step_size,
+                             G_agg=G_agg,
+                             learning_rate=self.learning_rate,
+                             batch_size=self.batch_size,
+                             random_state=random_state,
+                             n_threads=self.n_jobs,
+                             verbose=0)
+        dict_fact.prepare(n_samples=n_samples, n_features=n_voxels,
+                          X=dict_init, dtype=dtype)
+        self.dict_fact_ = dict_fact
+        cpu_time = 0.
+        io_time = 0.
+        if n_records > 0:
+            if self.verbose:
+                verbose_iter_ = np.linspace(0, n_records * self.n_epochs,
+                                            self.verbose).tolist()
+            current_n_records = 0
+            for i in range(self.n_epochs):
+                if self.verbose:
+                    print('Epoch %i' % (i + 1))
+                if method == 'gram' and i == 5:
+                    dict_fact.set_params(G_agg='full', Dx_agg='average')
+                if method == 'reducing ratio':
+                    reduction = 1 + (self.reduction - 1) / sqrt(i + 1)
+                    dict_fact.set_params(reduction=reduction)
+                record_list = random_state.permutation(n_records)
+                for record in record_list:
+                    if (self.verbose and verbose_iter_
+                            and current_n_records >= verbose_iter_[0]):
+                        print('Record %i' % current_n_records)
+                        if self.callback is not None:
+                            self.callback(masker, dict_fact, cpu_time,
+                                          io_time)
+                        verbose_iter_ = verbose_iter_[1:]
+                    t0 = time.perf_counter()
+                    img, these_confounds = data_list[record]
+                    masked_data = masker.transform(
+                        img, confounds=these_confounds)
+                    io_time += time.perf_counter() - t0
+
+                    t0 = time.perf_counter()
+                    permutation = random_state.permutation(
+                        masked_data.shape[0])
+                    if method in ('average', 'gram'):
+                        sample_indices = np.arange(
+                            indices_list[record], indices_list[record + 1])
+                        sample_indices = sample_indices[permutation]
+                    else:
+                        sample_indices = None
+                    masked_data = masked_data[permutation]
+                    dict_fact.partial_fit(masked_data,
+                                          sample_indices=sample_indices)
+                    current_n_records += 1
+                    cpu_time += time.perf_counter() - t0
+        self.cpu_time_ = cpu_time
+        self.io_time_ = io_time
+        return _flip(dict_fact.components_)
+
+    @staticmethod
+    def _count_voxels(masker, imgs):
+        if hasattr(masker, 'n_voxels_'):
+            return masker.n_voxels_
+        if hasattr(masker, 'mask_img_') and isinstance(
+                masker.mask_img_, np.ndarray):
+            return int(masker.mask_img_.sum())
+        # nilearn masker: count nonzeros in the mask image
+        from nilearn._utils import check_niimg  # pragma: no cover
+        return int(np.sum(np.asanyarray(
+            check_niimg(masker.mask_img_).dataobj) != 0))
+
+
+class fMRICoder(fMRICoderMixin):
+    """Code new images on a fixed spatial dictionary (fmri.py:366-403)."""
+
+    def __init__(self, dictionary, alpha=0.1, transform_batch_size=None,
+                 mask=None, smoothing_fwhm=None, standardize=True,
+                 detrend=True, low_pass=None, high_pass=None, t_r=None,
+                 target_affine=None, target_shape=None,
+                 mask_strategy='background', mask_args=None, memory=None,
+                 memory_level=2, n_jobs=1, verbose=0):
+        self.dictionary = dictionary
+        fMRICoderMixin.__init__(
+            self, n_components=None, alpha=alpha, dict_init=self.dictionary,
+            mask=mask, smoothing_fwhm=smoothing_fwhm,
+            standardize=standardize, detrend=detrend, low_pass=low_pass,
+            high_pass=high_pass,
+            transform_batch_size=transform_batch_size, t_r=t_r,
+            target_affine=target_affine, target_shape=target_shape,
+            mask_strategy=mask_strategy, mask_args=mask_args,
+            memory=memory, memory_level=memory_level, n_jobs=n_jobs,
+            verbose=verbose)
+
+
+class rfMRIDictionaryScorer:
+    """Callback recording test objective over time (fmri.py:588-633)."""
+
+    def __init__(self, test_imgs, test_confounds=None, info=None,
+                 artifact_dir=None):
+        self.start_time = time.perf_counter()
+        self.test_imgs = test_imgs
+        if test_confounds is None:
+            test_confounds = itertools.repeat(None)
+        self.test_confounds = test_confounds
+        self.test_time = 0
+        self.score = []
+        self.iter = []
+        self.time = []
+        self.cpu_time = []
+        self.io_time = []
+        self.info = info
+        self.artifact_dir = artifact_dir
+
+    def __call__(self, masker, dict_fact, cpu_time, io_time):
+        test_time = time.perf_counter()
+        if not hasattr(self, 'data'):
+            self.data = [masker.transform(img, confounds=conf)
+                         for img, conf in zip(self.test_imgs,
+                                              self.test_confounds)]
+        scores = np.array([dict_fact.score(data) for data in self.data])
+        len_imgs = np.array([data.shape[0] for data in self.data])
+        score = np.sum(scores * len_imgs) / np.sum(len_imgs)
+        self.test_time += time.perf_counter() - test_time
+        this_time = time.perf_counter() - self.start_time - self.test_time
+        self.score.append(score)
+        self.time.append(this_time)
+        self.cpu_time.append(cpu_time)
+        self.io_time.append(io_time)
+        self.iter.append(dict_fact.n_iter_)
+        if self.info is not None:
+            self.info['time'] = self.cpu_time
+            self.info['score'] = self.score
+            self.info['iter'] = self.iter
+        if self.artifact_dir is not None:
+            import os
+            from joblib import dump
+            components = _flip(dict_fact.components_)
+            np.save(os.path.join(self.artifact_dir, 'components_%i.npy'
+                                 % dict_fact.n_iter_), components)
+            if self.info is not None:
+                dump(self.info, os.path.join(self.artifact_dir, 'info.pkl'))

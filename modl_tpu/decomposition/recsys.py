@@ -1,0 +1,371 @@
+"""RecsysDictFact: masked online matrix factorization for sparse ratings.
+
+TPU-native re-design of ``modl/decomposition/recsys.py`` +
+``recsys_fast.pyx``. The reference iterates CSR rows in Python/Cython;
+here every batch of rows is packed on the host into fixed-width padded
+support tensors (indices padded with ``n_features`` and dropped/zero-filled
+by XLA's OOB gather/scatter semantics, widths quantised to powers of two
+to bound recompiles) and one jitted step performs:
+
+- vmapped per-row masked ridge solves
+  ``(D_s D_s^T + alpha/reduction I) c = D_s x_s`` (recsys.py:168-180)
+  as a batched Cholesky on the MXU,
+- the order-dependent per-feature EMA of B with weights
+  ``w_B = min(1, w n_iter / feature_n_iter)`` (recsys.py:182-185) as a
+  ``lax.scan`` over the batch rows (sequential semantics preserved),
+- the C EMA and a *masked full-width* block coordinate descent dictionary
+  update over the union of supports (recsys.py:187-213): the union of a
+  1/sparsity-sized batch covers O(n_features) columns, so full-width
+  masked GEMMs on the MXU replace the reference's gather + BLAS ger.
+
+``predict`` (recsys_fast.pyx:10-38) is a gathered dot over the stored
+entries; ``compute_biases``/``rmse`` keep their host numpy form.
+"""
+from functools import partial
+from math import ceil, log
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from sklearn.base import BaseEstimator
+from sklearn.utils import check_array, check_random_state, gen_batches
+
+from ..ops.weights import batch_weight
+
+__all__ = ["RecsysDictFact", "compute_biases", "rmse"]
+
+
+def _next_pow2(x):
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+def _pad_rows(X, rows, n_features, dtype, width=None):
+    """Pack CSR rows into (b, P) padded (indices, values); pad index ==
+    n_features (dropped by XLA gather-fill / scatter-drop)."""
+    starts = X.indptr[rows]
+    ends = X.indptr[rows + 1]
+    lens = ends - starts
+    P = width if width is not None else _next_pow2(max(int(lens.max()), 1))
+    b = len(rows)
+    idx = np.full((b, P), n_features, dtype=np.int32)
+    val = np.zeros((b, P), dtype=dtype)
+    for i in range(b):
+        L = lens[i]
+        idx[i, :L] = X.indices[starts[i]:ends[i]]
+        val[i, :L] = X.data[starts[i]:ends[i]]
+    return idx, val, lens.astype(np.int32), P
+
+
+@partial(jax.jit, static_argnames=("alpha",))
+def _masked_ridge_codes(D, idx, val, lens, alpha):
+    """Vmapped masked ridge solves; rows with empty support -> zero code.
+
+    D (k, n); idx/val (b, P) padded; lens (b,). recsys.py:168-180.
+    """
+    k, n = D.shape
+    Dg = jnp.take(D, idx, axis=1, fill_value=0.0)     # (k, b, P)
+    Dg = jnp.moveaxis(Dg, 1, 0)                        # (b, k, P)
+    Dx = jnp.einsum('bkp,bp->bk', Dg, val)
+    G = jnp.einsum('bkp,bqp->bkq', Dg, Dg)
+    lens_f = jnp.maximum(lens, 1).astype(D.dtype)
+    reduction = n / lens_f
+    ridge = alpha / reduction
+    eye = jnp.eye(k, dtype=D.dtype)
+    G = G + ridge[:, None, None] * eye
+    # SPD solve via Cholesky (LU is unsupported for f64 on TPU and slower)
+    chol = jax.vmap(lambda M: jax.scipy.linalg.cholesky(M, lower=True))(G)
+    code = jax.vmap(
+        lambda c, d: jax.scipy.linalg.cho_solve((c, True), d))(chol, Dx)
+    return jnp.where((lens > 0)[:, None], code, 0.0)
+
+
+@partial(jax.jit, static_argnames=("learning_rate",))
+def _recsys_batch_step(D, C, B, comp_norm, feature_n_iter, n_iter, code_b,
+                       idx, val, lens, order, learning_rate):
+    """One batch update after the codes are solved. Returns new state.
+
+    Sequential per-row B/feature_n_iter updates (recsys.py:157-185) run
+    as lax.scan; C EMA + masked full-width BCD follow (recsys.py:159-213).
+    """
+    k, n = D.shape
+    b = idx.shape[0]
+    dtype = D.dtype
+    n_iter_new = n_iter + b
+    w = jnp.asarray(batch_weight(n_iter_new, b, learning_rate, 0.0,
+                                 dtype=dtype), dtype)
+
+    # --- sequential per-row scatter-EMA of B + feature visit counts ---
+    def row_body(carry, inp):
+        B, fni = carry
+        idx_i, val_i, code_i, len_i = inp
+        mask_i = jnp.arange(idx_i.shape[0]) < len_i
+        fni = fni.at[idx_i].add(mask_i.astype(fni.dtype), mode='drop')
+        counts = jnp.take(fni, idx_i, fill_value=1)
+        w_B = jnp.minimum(1.0, w * n_iter_new / jnp.maximum(counts, 1)
+                          ).astype(dtype)
+        Bcols = jnp.take(B, idx_i, axis=1, fill_value=0.0)  # (k, P)
+        newB = Bcols * (1.0 - w_B)[None, :] + jnp.outer(code_i, val_i * w_B)
+        newB = jnp.where(mask_i[None, :], newB, Bcols)
+        B = B.at[:, idx_i].set(newB, mode='drop')
+        return (B, fni), None
+
+    (B, feature_n_iter), _ = lax.scan(
+        row_body, (B, feature_n_iter), (idx, val, code_b, lens))
+
+    # --- C EMA over the batch codes (recsys.py:159-160) ---
+    C = C * (1.0 - w) + (w / b) * (code_b.T @ code_b)
+
+    # --- union-of-supports mask + masked full-width BCD ---
+    mask_all = jnp.arange(idx.shape[1])[None, :] < lens[:, None]
+    union = jnp.zeros((n,), bool).at[idx.reshape(-1)].max(
+        mask_all.reshape(-1), mode='drop')
+    union_f = union.astype(dtype)
+
+    Dm = D * union_f[None, :]
+    R = (B - C @ D) * union_f[None, :]
+    norms0 = jnp.sum(Dm * Dm, axis=1)
+    comp_norm = comp_norm + norms0
+
+    def bcd_body(j, carry):
+        D, R, cn = carry
+        kk = order[j]
+        Ck = C[kk]
+        Ckk = C[kk, kk]
+        Dk = D[kk] * union_f
+        R = R + jnp.outer(Ck, Dk)
+        Dk_new = jnp.where(Ckk > 1e-20,
+                           R[kk] / jnp.where(Ckk > 1e-20, Ckk, 1.0), Dk)
+        norm = jnp.sqrt(jnp.sum(Dk_new * Dk_new))
+        lim = jnp.sqrt(jnp.maximum(cn[kk], 0.0))
+        scale = jnp.where(norm > lim, lim / jnp.maximum(norm, 1e-30), 1.0)
+        Dk_new = Dk_new * scale
+        R = R - jnp.outer(Ck, Dk_new)
+        # write back only the union columns; others keep their values
+        D = D.at[kk].set(jnp.where(union, Dk_new, D[kk]))
+        return D, R, cn
+
+    D, R, comp_norm = lax.fori_loop(0, k, bcd_body, (D, R, comp_norm))
+    norms1 = jnp.sum((D * union_f[None, :]) ** 2, axis=1)
+    comp_norm = comp_norm - norms1
+    return D, C, B, comp_norm, feature_n_iter, n_iter_new
+
+
+@jax.jit
+def _predict_entries(code, D, row_idx, col_idx):
+    """out[e] = code[row[e]] . D[:, col[e]] for stored entries."""
+    P = jnp.take(code, row_idx, axis=0)           # (e, k)
+    Q = jnp.take(D, col_idx, axis=1).T            # (e, k)
+    return jnp.sum(P * Q, axis=1)
+
+
+class RecsysDictFact(BaseEstimator):
+    """Masked matrix-factorization estimator (API of recsys.py:16-265).
+
+    Parameters and attributes mirror the reference: ``alpha`` (ridge),
+    ``beta`` (bias shrinkage), ``n_components``, ``learning_rate``,
+    ``batch_size`` (None -> ceil(1/sparsity)), ``detrend``, ``crop``,
+    ``components_``, ``code_``.
+    """
+
+    def __init__(self, alpha=1.0, beta=.0, n_components=30,
+                 learning_rate=1., batch_size=1, dict_init=None,
+                 l1_ratio=0, n_epochs=1, random_state=None, verbose=0,
+                 detrend=False, crop=None, callback=None):
+        self.callback = callback
+        self.verbose = verbose
+        self.random_state = random_state
+        self.n_epochs = n_epochs
+        self.l1_ratio = l1_ratio
+        self.dict_init = dict_init
+        self.batch_size = batch_size
+        self.learning_rate = learning_rate
+        self.n_components = n_components
+        self.alpha = alpha
+        self.beta = beta
+        self.detrend = detrend
+        self.crop = crop
+
+    def fit(self, X, y=None):
+        if not sp.issparse(X):
+            X = sp.csr_matrix(X)
+        X = check_array(X, accept_sparse='csr',
+                        dtype=[np.float32, np.float64], copy=True)
+        dtype = X.dtype if jax.config.jax_enable_x64 else np.float32
+        n_samples, n_features = X.shape
+        self._n_features = n_features
+        self.random_state = check_random_state(self.random_state)
+
+        if self.detrend:
+            self.row_mean_, self.col_mean_ = compute_biases(
+                X, beta=self.beta, inplace=False)
+            for i in range(n_samples):
+                X.data[X.indptr[i]:X.indptr[i + 1]] -= self.row_mean_[i]
+            X.data -= self.col_mean_.take(X.indices, mode='clip')
+
+        D0 = self.random_state.randn(self.n_components, n_features)
+        D0 /= np.sqrt(np.sum(D0 ** 2, axis=1))[:, np.newaxis]
+        D = jnp.asarray(D0, dtype)
+
+        code = self._refit_device(D, X, dtype)
+
+        self.feature_freq_ = np.bincount(X.indices, minlength=n_features) \
+            / n_samples
+        feature_n_iter = jnp.zeros((n_features,), jnp.int32)
+
+        sparsity = X.nnz / n_samples / n_features
+        if self.batch_size is None:
+            batch_size = int(ceil(1. / sparsity))
+        else:
+            batch_size = self.batch_size
+
+        comp_norm = jnp.zeros((self.n_components,), dtype)
+        C = jnp.zeros((self.n_components, self.n_components), dtype)
+        B = jnp.zeros((self.n_components, n_features), dtype)
+        n_iter = jnp.zeros((), jnp.int32)
+
+        if self.verbose:
+            log_lim = log(n_samples * self.n_epochs / batch_size, 10)
+            self.verbose_iter_ = ((np.logspace(0, log_lim, self.verbose,
+                                               base=10) - 1)
+                                  * batch_size).tolist()
+
+        self._D, self._C, self._B = D, C, B
+        self._code = code
+        alpha = float(self.alpha)
+        lr = float(self.learning_rate)
+
+        for _ in range(self.n_epochs):
+            permutation = self.random_state.permutation(n_samples)
+            for batch in gen_batches(n_samples, batch_size):
+                rows = permutation[batch]
+                if self.verbose and getattr(self, 'verbose_iter_', None) \
+                        and int(n_iter) >= self.verbose_iter_[0]:
+                    print('Iteration %i' % int(n_iter))
+                    self.verbose_iter_ = self.verbose_iter_[1:]
+                    self._callback()
+                idx, val, lens, P = _pad_rows(X, rows, n_features, dtype)
+                idx_d = jnp.asarray(idx)
+                val_d = jnp.asarray(val)
+                lens_d = jnp.asarray(lens)
+                code_b = _masked_ridge_codes(D, idx_d, val_d, lens_d, alpha)
+                code = code.at[jnp.asarray(rows)].set(code_b)
+                order = jnp.asarray(
+                    self.random_state.permutation(self.n_components))
+                D, C, B, comp_norm, feature_n_iter, n_iter = \
+                    _recsys_batch_step(D, C, B, comp_norm, feature_n_iter,
+                                       n_iter, code_b, idx_d, val_d, lens_d,
+                                       order, lr)
+                self._D, self._C, self._B = D, C, B
+                self._code = code
+        code = self._refit_device(D, X, dtype)
+        self._D, self._code = D, code
+        self.n_iter_ = int(n_iter)
+        return self
+
+    def _refit_device(self, D, X, dtype, chunk=2048):
+        """Recompute all codes with the current dictionary
+        (recsys.py:254-265)."""
+        n_samples, n_features = X.shape
+        out = np.zeros((n_samples, self.n_components), dtype)
+        alpha = float(self.alpha)
+        for batch in gen_batches(n_samples, chunk):
+            rows = np.arange(batch.start, batch.stop)
+            idx, val, lens, P = _pad_rows(X, rows, n_features, dtype)
+            code_b = _masked_ridge_codes(D, jnp.asarray(idx),
+                                         jnp.asarray(val),
+                                         jnp.asarray(lens), alpha)
+            out[batch] = np.asarray(code_b)
+        return jnp.asarray(out)
+
+    def _callback(self):
+        if self.callback is not None:
+            self.callback(self)
+
+    # sklearn-style views ------------------------------------------------ #
+
+    @property
+    def components_(self):
+        return np.asarray(self._D)
+
+    @property
+    def code_(self):
+        return np.asarray(self._code)
+
+    @property
+    def C_(self):
+        return np.asarray(self._C)
+
+    @property
+    def B_(self):
+        return np.asarray(self._B)
+
+    def predict(self, X):
+        """Predicted values at the stored entries of X (recsys.py:215-244)."""
+        if not sp.issparse(X):
+            X = sp.csr_matrix(X)
+        X = check_array(X, accept_sparse='csr')
+        n_samples = X.shape[0]
+        row_idx = np.repeat(np.arange(n_samples),
+                            np.diff(X.indptr)).astype(np.int32)
+        col_idx = X.indices.astype(np.int32)
+        out = np.array(_predict_entries(self._code, self._D,
+                                        jnp.asarray(row_idx),
+                                        jnp.asarray(col_idx)),
+                       dtype=np.float64)
+
+        if self.detrend:
+            out += self.row_mean_.take(row_idx)
+            out += self.col_mean_.take(col_idx, mode='clip')
+
+        if self.crop is not None:
+            out[out > self.crop[1]] = self.crop[1]
+            out[out < self.crop[0]] = self.crop[0]
+
+        return sp.csr_matrix((out, X.indices, X.indptr), shape=X.shape)
+
+    def score(self, X):
+        """RMSE at the stored entries (recsys.py:246-252)."""
+        if not sp.issparse(X):
+            X = sp.csr_matrix(X)
+        X = check_array(X, accept_sparse='csr')
+        X_pred = self.predict(X)
+        return rmse(X, X_pred)
+
+
+def compute_biases(X, beta=0, inplace=False):
+    """Two-pass row/column detrending of a CSR matrix (recsys.py:268-306)."""
+    if not inplace:
+        X = X.copy()
+    X = sp.csr_matrix(X)
+
+    acc_u = np.zeros(X.shape[0])
+    acc_m = np.zeros(X.shape[1])
+
+    n_u = X.getnnz(axis=1)
+    n_m = X.getnnz(axis=0)
+    n_u[n_u == 0] = 1
+    n_m[n_m == 0] = 1
+    average_rating = np.mean(X.data) if X.nnz else 0.0
+    for _ in range(2):
+        w_u = (X.sum(axis=1).A[:, 0] + average_rating * beta) / (n_u + beta)
+        for i, (left, right) in enumerate(zip(X.indptr[:-1], X.indptr[1:])):
+            X.data[left:right] -= w_u[i]
+        w_m = X.sum(axis=0).A[0] / (n_m + beta)
+        X.data -= w_m.take(X.indices, mode='clip')
+        acc_u += w_u
+        acc_m += w_m
+
+    return acc_u, acc_m
+
+
+def rmse(X_true, X_pred):
+    """Root mean squared error between two same-pattern sparse matrices."""
+    X_true = check_array(X_true, accept_sparse='csr')
+    X_pred = check_array(X_pred, accept_sparse='csr')
+    return np.sqrt(np.mean((X_true.data - X_pred.data) ** 2))

@@ -1,0 +1,70 @@
+"""Offline unmask pipeline: volumes -> raw ``.npy`` records + manifest.
+
+Reference: modl/input_data/fmri/rest.py (create_raw_rest_data /
+get_raw_rest_data). Each record is unmasked to a 2-D float array stored
+as ``.npy``; a ``data.csv`` manifest and ``mask.npy`` accompany them.
+Corrupt records write an ``-error`` sidecar with the traceback and are
+skipped (the reference's skip-and-log contract, rest.py:34-42).
+"""
+import json
+import os
+import traceback
+
+import numpy as np
+
+from .base import NumpyMasker
+
+__all__ = ["create_raw_rest_data", "get_raw_rest_data"]
+
+
+def _single_mask(masker, img, dump_dir, index):
+    name = 'record_%i' % index
+    try:
+        data = masker.transform(img)
+        path = os.path.join(dump_dir, name + '.npy')
+        np.save(path, np.asarray(data, np.float32))
+        return path, data.shape[0]
+    except Exception:
+        err_path = os.path.join(dump_dir, name + '-error')
+        with open(err_path, 'w') as f:
+            f.write(traceback.format_exc())
+        return None, 0
+
+
+def create_raw_rest_data(imgs, mask, dump_dir, standardize=True,
+                         detrend=True, n_jobs=1):
+    """Unmask every record into dump_dir; returns the manifest path.
+
+    imgs: list of 4-D arrays / ``.npy`` paths; mask: 3-D bool array.
+    """
+    os.makedirs(dump_dir, exist_ok=True)
+    masker = NumpyMasker(mask_img=mask, standardize=standardize,
+                         detrend=detrend).fit()
+    if n_jobs != 1:
+        from joblib import Parallel, delayed
+        results = Parallel(n_jobs=n_jobs)(
+            delayed(_single_mask)(masker, img, dump_dir, i)
+            for i, img in enumerate(imgs))
+    else:
+        results = [_single_mask(masker, img, dump_dir, i)
+                   for i, img in enumerate(imgs)]
+
+    np.save(os.path.join(dump_dir, 'mask.npy'), masker.mask_img_)
+    manifest = {
+        'mask': os.path.join(dump_dir, 'mask.npy'),
+        'records': [{'filename': p, 'n_frames': int(n)}
+                    for p, n in results if p is not None],
+    }
+    manifest_path = os.path.join(dump_dir, 'data.json')
+    with open(manifest_path, 'w') as f:
+        json.dump(manifest, f, indent=2)
+    return manifest_path
+
+
+def get_raw_rest_data(dump_dir):
+    """Reload (masker, list of record paths) from a manifest directory."""
+    with open(os.path.join(dump_dir, 'data.json')) as f:
+        manifest = json.load(f)
+    masker = NumpyMasker(mask_img=np.load(manifest['mask'])).fit()
+    records = [r['filename'] for r in manifest['records']]
+    return masker, records

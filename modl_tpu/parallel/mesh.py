@@ -1,0 +1,75 @@
+"""Device-mesh data parallelism for the SOMF step.
+
+The reference's only parallelism is an intra-node thread pool splitting
+minibatches + a 2-task dict/B split (dict_fact.py:535-543, SURVEY 2.3).
+The TPU-native counterpart is SPMD over a ``jax.sharding.Mesh``:
+
+- ``dp`` axis: minibatch rows sharded over devices. The per-device code
+  solves are independent; the ``code^T @ X`` / ``code^T @ code``
+  contractions over the sharded batch axis make XLA insert the psum that
+  reduces per-device B/C contributions over ICI — exactly the SOMF
+  data-parallel statistics reduction.
+- ``feat`` axis: the wide feature dimension of D, B and X is sharded
+  (the tensor-parallel analog for this model family: fMRI has ~2e5
+  voxels). The BCD dictionary update is feature-separable given C, so
+  the only communication is the k x k Gram psums.
+
+Shardings are expressed as ``NamedSharding`` constraints on the state
+pytree + inputs; the single jitted ``somf_step`` is reused unchanged —
+XLA's sharding propagation does the rest (GSPMD, no hand-written
+collectives needed at this layer).
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_state", "shard_batch", "replicate"]
+
+
+def make_mesh(n_dp=None, n_feat=1, devices=None):
+    """Build a ('dp', 'feat') mesh over the given (or all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    n_devices = len(devices)
+    if n_dp is None:
+        n_dp = n_devices // n_feat
+    if n_dp * n_feat != n_devices:
+        raise ValueError('n_dp * n_feat (%d*%d) != n_devices (%d)'
+                         % (n_dp, n_feat, n_devices))
+    dev_array = np.array(devices).reshape(n_dp, n_feat)
+    return Mesh(dev_array, ('dp', 'feat'))
+
+
+def _spec_for_leaf(path, leaf):
+    """PartitionSpec for each SomfState field (by field name)."""
+    name = path[0].name if path else ''
+    feature_sharded = {'D': P(None, 'feat'), 'B': P(None, 'feat'),
+                       'box': P()}
+    sample_sharded = {'code': P(), 'Dx_avg': P(), 'G_avg': P(),
+                      'sample_n_iter': P()}
+    if name in feature_sharded:
+        return feature_sharded[name]
+    if name in sample_sharded:
+        return sample_sharded[name]
+    return P()
+
+
+def shard_state(state, mesh):
+    """Place a SomfState on the mesh: D/B feature-sharded, rest replicated."""
+    def place(path, leaf):
+        spec = _spec_for_leaf(path, leaf)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map_with_path(place, state)
+
+
+def shard_batch(X, mesh, feat=False):
+    """Shard a (b, n_features) minibatch: rows over dp, optionally
+    features over feat."""
+    spec = P('dp', 'feat') if feat else P('dp', None)
+    return jax.device_put(X, NamedSharding(mesh, spec))
+
+
+def replicate(x, mesh):
+    return jax.device_put(x, NamedSharding(mesh, P()))

@@ -1,0 +1,74 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+Validates that the sharded SOMF step produces the same trajectory as the
+single-device step (SPMD is a pure layout change) and that both mesh
+axes (dp batch sharding + feat feature sharding) compile and execute.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from modl_tpu import DictFact
+from modl_tpu.decomposition._step import somf_step_jit
+from modl_tpu.parallel import make_mesh, shard_batch, shard_state
+
+
+@pytest.fixture(scope="module")
+def fitted_state():
+    rng = np.random.RandomState(0)
+    X = rng.randn(64, 32)
+    df = DictFact(n_components=4, reduction=2, code_alpha=1e-4,
+                  comp_l1_ratio=0, random_state=0, batch_size=16)
+    df.prepare(n_samples=64, X=X)
+    return df, X
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("n_dp,n_feat", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_step_matches_single_device(fitted_state, n_dp, n_feat):
+    df, X = fitted_state
+    mesh = make_mesh(n_dp=n_dp, n_feat=n_feat)
+    cfg = df._cfg
+    state = df._state
+    Xb = jnp.asarray(X[:16], state.D.dtype)
+    idx = jnp.arange(16, dtype=jnp.int32)
+
+    ref = somf_step_jit(state, Xb, idx, cfg)
+
+    state_sh = shard_state(state, mesh)
+    Xb_sh = shard_batch(Xb, mesh, feat=(n_feat > 1))
+    out = somf_step_jit(state_sh, Xb_sh, idx, cfg)
+
+    np.testing.assert_allclose(np.asarray(out.D), np.asarray(ref.D),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.B), np.asarray(ref.B),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.C), np.asarray(ref.C),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_multi_step_trajectory(fitted_state):
+    df, X = fitted_state
+    mesh = make_mesh(n_dp=4, n_feat=2)
+    cfg = df._cfg
+    state_ref = df._state
+    state_sh = shard_state(df._state, mesh)
+    for i in range(4):
+        Xb = jnp.asarray(X[i * 16:(i + 1) * 16], state_ref.D.dtype)
+        idx = jnp.arange(i * 16, (i + 1) * 16, dtype=jnp.int32)
+        state_ref = somf_step_jit(state_ref, Xb, idx, cfg)
+        state_sh = somf_step_jit(state_sh, shard_batch(Xb, mesh, feat=True),
+                                 idx, cfg)
+    np.testing.assert_allclose(np.asarray(state_sh.D),
+                               np.asarray(state_ref.D),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(n_dp=3, n_feat=2)
