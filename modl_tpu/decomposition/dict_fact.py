@@ -48,6 +48,36 @@ def _default_dtype(dtype):
     return dtype
 
 
+def _state_to_host(st):
+    return {f: (np.asarray(getattr(st, f))
+                if getattr(st, f) is not None else None)
+            for f in st._fields}
+
+
+def _state_from_host(d):
+    return SomfState(**{f: (jnp.asarray(v) if v is not None else None)
+                        for f, v in d.items()})
+
+
+class _PickleStateMixin:
+    """Pickle device state as host numpy so estimators saved on one
+    backend restore on another (replaces the reference's thread-pool
+    exclusion on pickling, dict_fact.py:116-124)."""
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        st = state.get('_state')
+        if st is not None:
+            state['_state'] = ('__somf_state__', _state_to_host(st))
+        return state
+
+    def __setstate__(self, state):
+        st = state.get('_state')
+        if isinstance(st, tuple) and st and st[0] == '__somf_state__':
+            state['_state'] = _state_from_host(st[1])
+        self.__dict__ = state
+
+
 class CodingMixin(TransformerMixin):
     """Shared transform/score over a fitted dictionary
     (dict_fact.py:23-124)."""
@@ -100,7 +130,7 @@ class CodingMixin(TransformerMixin):
         return jnp.asarray(self.components_)
 
 
-class DictFact(CodingMixin, BaseEstimator):
+class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
     """Streaming matrix factorisation with stochastic subsampling (SOMF).
 
     Solves, over a stream of sample rows,

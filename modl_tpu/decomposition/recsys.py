@@ -47,19 +47,30 @@ def _next_pow2(x):
 
 def _pad_rows(X, rows, n_features, dtype, width=None):
     """Pack CSR rows into (b, P) padded (indices, values); pad index ==
-    n_features (dropped by XLA gather-fill / scatter-drop)."""
+    n_features (dropped by XLA gather-fill / scatter-drop).
+
+    Uses the native C++ packer (modl_tpu/native/csr_pack.cpp) when built;
+    falls back to a per-row numpy loop."""
     starts = X.indptr[rows]
     ends = X.indptr[rows + 1]
     lens = ends - starts
     P = width if width is not None else _next_pow2(max(int(lens.max()), 1))
     b = len(rows)
+
+    from ..native import pack_rows as _native_pack
+    packed = _native_pack(X.indptr, X.indices, X.data, rows, P,
+                          n_features, dtype)
+    if packed is not None:
+        idx, val, lens32 = packed
+        return idx, val, lens32, P
+
     idx = np.full((b, P), n_features, dtype=np.int32)
     val = np.zeros((b, P), dtype=dtype)
     for i in range(b):
-        L = lens[i]
-        idx[i, :L] = X.indices[starts[i]:ends[i]]
-        val[i, :L] = X.data[starts[i]:ends[i]]
-    return idx, val, lens.astype(np.int32), P
+        L = min(int(lens[i]), P)  # truncate like the native packer
+        idx[i, :L] = X.indices[starts[i]:starts[i] + L]
+        val[i, :L] = X.data[starts[i]:starts[i] + L]
+    return idx, val, np.minimum(lens, P).astype(np.int32), P
 
 
 @partial(jax.jit, static_argnames=("alpha",))
