@@ -41,7 +41,7 @@ def bench_tpu(X):
     import jax.numpy as jnp
 
     from modl_tpu import DictFact
-    from modl_tpu.decomposition._step import somf_step_jit
+    from modl_tpu.decomposition._step import somf_scan
 
     df = DictFact(n_components=N_COMPONENTS, reduction=REDUCTION,
                   code_alpha=ALPHA, code_l1_ratio=0, comp_l1_ratio=1,
@@ -50,21 +50,25 @@ def bench_tpu(X):
     df.prepare(n_samples=N_SAMPLES, X=X)
     cfg = df._cfg
     state = df._state
-    Xd = jnp.asarray(X, state.D.dtype)
-    idx_all = jnp.arange(N_SAMPLES, dtype=jnp.int32)
+    n_batches = N_SAMPLES // BATCH
+    Xb = jnp.asarray(X, state.D.dtype).reshape(n_batches, BATCH, -1)
+    ib = jnp.arange(N_SAMPLES, dtype=jnp.int32).reshape(n_batches, BATCH)
 
-    # warmup / compile
-    state = somf_step_jit(state, Xd[:BATCH], idx_all[:BATCH], cfg)
-    state.D.block_until_ready()
+    def sync(s):
+        # a scalar read is the only true sync on tunneled backends
+        # (block_until_ready returns early there); 4-byte transfer.
+        return float(jnp.sum(s.D[0, :8]) + s.n_iter)
 
+    state = somf_scan(state, Xb, ib, cfg)  # warmup / compile
+    sync(state)
+
+    epochs = max(1, STEPS_MEASURE // n_batches)
     t0 = time.perf_counter()
-    for i in range(STEPS_MEASURE):
-        lo = (i * BATCH) % (N_SAMPLES - BATCH)
-        state = somf_step_jit(state, jax.lax.dynamic_slice_in_dim(
-            Xd, lo, BATCH), idx_all[lo:lo + BATCH], cfg)
-    state.D.block_until_ready()
+    for _ in range(epochs):
+        state = somf_scan(state, Xb, ib, cfg)
+    sync(state)
     dt = time.perf_counter() - t0
-    return STEPS_MEASURE * BATCH / dt
+    return epochs * N_SAMPLES / dt
 
 
 def bench_numpy_baseline(X):

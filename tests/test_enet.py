@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from modl_tpu.ops import (enet_norm, enet_projection, enet_projection_batch,
                           enet_scale)
+from modl_tpu.ops.enet import enet_projection_bisect
 
 
 def enet_norm_np(v, l1_ratio):
@@ -115,6 +116,20 @@ def test_enet_scale_zero_vector():
     v = np.zeros(10)
     scaled = np.asarray(enet_scale(jnp.asarray(v), 0.5, radius=1.0))
     np.testing.assert_array_equal(scaled, v)
+
+
+@pytest.mark.parametrize("l1_ratio", [0.1, 0.5, 1.0])
+@pytest.mark.parametrize("radius", [0.5, 1.0, 3.0])
+def test_enet_projection_bisect_matches_exact(l1_ratio, radius):
+    """The hot-path bisection projection agrees with the exact sort-based
+    one to float tolerance."""
+    rng = np.random.RandomState(7)
+    for _ in range(5):
+        v = rng.randn(80) * 2
+        exact = np.asarray(enet_projection(jnp.asarray(v), radius, l1_ratio))
+        fast = np.asarray(enet_projection_bisect(jnp.asarray(v), radius,
+                                                 l1_ratio, n_iter=60))
+        np.testing.assert_allclose(fast, exact, atol=1e-7)
 
 
 def test_enet_norm_matches_numpy():
