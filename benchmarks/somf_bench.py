@@ -1,0 +1,63 @@
+"""SOMF benchmark grid: throughput across configurations.
+
+(The reference's ``benchmarks/`` holds unrelated logistic-regression
+solver timings, SURVEY 2.2; this suite benchmarks the framework itself.)
+Prints one JSON line per configuration.
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from modl_tpu import DictFact
+from modl_tpu.decomposition._step import somf_scan
+from modl_tpu.utils.profiling import sync
+
+CONFIGS = [
+    # name, n_features, k, batch, reduction, code_l1, comp_l1
+    ("adhd70", 200_000, 70, 100, 12, 0.0, 1.0),
+    ("adhd70_l2", 200_000, 70, 100, 12, 0.0, 0.0),
+    ("image256", 768, 256, 200, 10, 1.0, 0.0),
+    ("hcp1024_slim", 50_000, 256, 200, 20, 0.0, 1.0),
+]
+
+
+def run_one(name, n_features, k, batch, reduction, code_l1, comp_l1,
+            n_samples=2000, epochs=3):
+    rng = np.random.RandomState(0)
+    X = rng.randn(n_samples, n_features).astype(np.float32)
+    df = DictFact(n_components=k, reduction=reduction, code_alpha=1e-3,
+                  code_l1_ratio=code_l1, comp_l1_ratio=comp_l1,
+                  learning_rate=0.92, batch_size=batch, random_state=0,
+                  dtype=np.float32)
+    df.prepare(n_samples=n_samples, X=X)
+    nb = n_samples // batch
+    Xb = jnp.asarray(X[:nb * batch]).reshape(nb, batch, n_features)
+    ib = jnp.arange(nb * batch, dtype=jnp.int32).reshape(nb, batch)
+    state = somf_scan(df._state, Xb, ib, df._cfg)
+    sync(state.D)
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        state = somf_scan(state, Xb, ib, df._cfg)
+    sync(state.D)
+    dt = (time.perf_counter() - t0) / epochs
+    print(json.dumps({
+        "bench": name,
+        "ms_per_batch": round(dt / nb * 1000, 3),
+        "samples_per_s": round(nb * batch / dt, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == '__main__':
+    p = argparse.ArgumentParser()
+    p.add_argument('--only', default=None)
+    a = p.parse_args()
+    for cfg in CONFIGS:
+        if a.only and cfg[0] != a.only:
+            continue
+        run_one(*cfg)

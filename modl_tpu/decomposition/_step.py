@@ -69,6 +69,7 @@ class SomfConfig:
     tol: float
     max_iter: int
     replacement: bool
+    use_pallas: bool = False        # VMEM-resident BCD kernel when eligible
 
 
 def _solve_code(state, X, sample_indices, w_sample, subset, cfg):
@@ -137,7 +138,13 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, key, cfg,
     key, order_key = jax.random.split(key)
     order = jax.random.permutation(order_key, k)
 
-    if cfg.optimizer == 'variational':
+    from ..ops import bcd_pallas
+
+    if (cfg.optimizer == 'variational' and cfg.use_pallas
+            and bcd_pallas.supported(k, s, dtype, cfg.comp_l1_ratio)):
+        D_subset, comp_norm = bcd_pallas.bcd_update_l2(
+            D_subset, R, C, comp_norm, order, comp_pos=cfg.comp_pos)
+    elif cfg.optimizer == 'variational':
         def body(j, carry):
             D_s, R, cn = carry
             kk = order[j]

@@ -201,7 +201,7 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
     # state plumbing
     # ------------------------------------------------------------------ #
 
-    def _make_config(self, n_features):
+    def _make_config(self, n_features, dtype=None):
         reduction = float(self.reduction)
         if self.optimizer == 'sgd':
             reduction = 1.0
@@ -210,6 +210,11 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         Dx_agg = self.Dx_agg
         if self.optimizer == 'sgd':
             G_agg, Dx_agg = 'full', 'full'
+        if dtype is None:
+            dtype = getattr(self, '_dtype', np.float32)
+        # VMEM-resident Pallas BCD kernel: TPU backends, f32, l2-ball
+        use_pallas = (jax.default_backend() not in ('cpu',)
+                      and np.dtype(dtype) == np.float32)
         return SomfConfig(
             n_components=int(self.n_components),
             len_subset=len_subset,
@@ -228,6 +233,7 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
             tol=float(self.tol),
             max_iter=int(self.max_iter),
             replacement=bool(self.replacement),
+            use_pallas=use_pallas,
         )
 
     def prepare(self, n_samples=None, n_features=None, dtype=None, X=None):
@@ -268,7 +274,7 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         D0 = np.asarray(D0, dtype)
         D = enet_scale(jnp.asarray(D0), float(self.comp_l1_ratio), radius=1.0)
 
-        cfg = self._make_config(n_features)
+        cfg = self._make_config(n_features, dtype)
         self._cfg = cfg
         self._n_features = int(n_features)
         self._n_samples = int(n_samples)

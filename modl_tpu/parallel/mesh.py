@@ -25,7 +25,16 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_state", "shard_batch", "replicate"]
+__all__ = ["make_mesh", "shard_state", "shard_batch", "replicate",
+           "config_for_mesh"]
+
+
+def config_for_mesh(cfg):
+    """Adapt a SomfConfig for sharded execution: the Pallas BCD kernel
+    has no GSPMD sharding rules yet, so multi-device runs use the pure
+    XLA path (which propagates shardings automatically)."""
+    import dataclasses
+    return dataclasses.replace(cfg, use_pallas=False)
 
 
 def make_mesh(n_dp=None, n_feat=1, devices=None):
