@@ -142,8 +142,9 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, key, cfg,
 
     if (cfg.optimizer == 'variational' and cfg.use_pallas
             and bcd_pallas.supported(k, s, dtype, cfg.comp_l1_ratio)):
-        D_subset, comp_norm = bcd_pallas.bcd_update_l2(
-            D_subset, R, C, comp_norm, order, comp_pos=cfg.comp_pos)
+        D_subset, comp_norm = bcd_pallas.bcd_update(
+            D_subset, R, C, comp_norm, order, comp_pos=cfg.comp_pos,
+            l1_ratio=cfg.comp_l1_ratio)
     elif cfg.optimizer == 'variational':
         def body(j, carry):
             D_s, R, cn = carry

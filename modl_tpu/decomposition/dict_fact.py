@@ -102,16 +102,32 @@ class CodingMixin(TransformerMixin):
             return self._state.G
         return None
 
-    def transform(self, X):
-        """Codes for rows of X on the current dictionary (b, k)."""
+    def transform(self, X, batch_size=None):
+        """Codes for rows of X on the current dictionary (b, k).
+
+        ``batch_size`` (or ``self.transform_batch_size`` when set) chunks
+        the rows to bound device memory on very large inputs."""
         check_is_fitted(self, 'components_')
         D = self._components_device()
-        X = jnp.asarray(np.asarray(X), D.dtype)
+        X = np.asarray(X)
         G = self._transform_gram()
-        code = compute_code(D, G, X, float(self.code_l1_ratio),
-                            float(self.code_alpha), bool(self.code_pos),
-                            float(self.tol), int(self.max_iter))
-        return np.asarray(code)
+        batch_size = batch_size or getattr(self, 'transform_batch_size',
+                                           None)
+        if batch_size is None or X.shape[0] <= batch_size:
+            code = compute_code(D, G, jnp.asarray(X, D.dtype),
+                                float(self.code_l1_ratio),
+                                float(self.code_alpha),
+                                bool(self.code_pos),
+                                float(self.tol), int(self.max_iter))
+            return np.asarray(code)
+        out = np.empty((X.shape[0], self.n_components), X.dtype)
+        for batch in gen_batches(X.shape[0], batch_size):
+            out[batch] = np.asarray(compute_code(
+                D, G, jnp.asarray(X[batch], D.dtype),
+                float(self.code_l1_ratio), float(self.code_alpha),
+                bool(self.code_pos), float(self.tol),
+                int(self.max_iter)))
+        return out
 
     def score(self, X):
         """Penalised objective on X (lower is better), dict_fact.py:94-114."""

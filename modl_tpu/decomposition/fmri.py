@@ -129,7 +129,8 @@ class fMRICoderMixin(BaseNilearnEstimator, TransformerMixin):
         codes = []
         for img, conf in zip(imgs, confounds):
             data = self.masker_.transform(img, confounds=conf)
-            codes.append(self.coder_.transform(data))
+            codes.append(self.coder_.transform(
+                data, batch_size=self.transform_batch_size))
         return codes
 
     def score(self, imgs, confounds=None):

@@ -16,28 +16,34 @@ def interpret_mode():
     bp.INTERPRET = old
 
 
-def _reference(D, R, C, cn, order, comp_pos=False):
+def _enet_norm(v, l1r):
+    a = np.abs(v)
+    return np.sum(a * (l1r + (1 - l1r) * a))
+
+
+def _project(v, radius, l1r):
+    from modl_tpu.ops.enet import enet_projection
+    return np.asarray(enet_projection(jnp.asarray(v), radius, l1r))
+
+
+def _reference(D, R, C, cn, order, comp_pos=False, l1r=0.0):
     D, R, cn = D.copy(), R.copy(), cn.copy()
     for kk in order:
-        n_old = np.sum(D[kk] ** 2)
-        budget = cn[kk] + n_old
+        budget = cn[kk] + _enet_norm(D[kk], l1r)
         R += np.outer(C[kk], D[kk])
         if C[kk, kk] > 1e-20:
             D[kk] = R[kk] / C[kk, kk]
         if comp_pos:
             D[kk] = np.maximum(D[kk], 0)
-        n2 = np.sum(D[kk] ** 2)
-        if n2 > budget:
-            D[kk] /= np.sqrt(n2 / max(budget, 1e-30))
-        if budget <= 0:
-            D[kk] = 0
-        cn[kk] = budget - np.sum(D[kk] ** 2)
+        D[kk] = _project(D[kk], budget, l1r)
+        cn[kk] = budget - _enet_norm(D[kk], l1r)
         R -= np.outer(C[kk], D[kk])
     return D, cn
 
 
 @pytest.mark.parametrize("comp_pos", [False, True])
-def test_bcd_kernel_matches_reference(comp_pos):
+@pytest.mark.parametrize("l1r", [0.0, 1.0, 0.5])
+def test_bcd_kernel_matches_reference(comp_pos, l1r):
     k, s = 8, 96
     rng = np.random.RandomState(0)
     D = rng.randn(k, s).astype(np.float32)
@@ -49,16 +55,17 @@ def test_bcd_kernel_matches_reference(comp_pos):
     cn = np.zeros(k, np.float32)
     order = rng.permutation(k).astype(np.int32)
 
-    Dn, cnn = bp.bcd_update_l2(jnp.asarray(D), jnp.asarray(R),
-                               jnp.asarray(C), jnp.asarray(cn),
-                               jnp.asarray(order), comp_pos=comp_pos)
-    Dref, cnr = _reference(D, R, C, cn, order, comp_pos=comp_pos)
-    np.testing.assert_allclose(np.asarray(Dn), Dref, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(cnn), cnr, atol=1e-5)
+    Dn, cnn = bp.bcd_update(jnp.asarray(D), jnp.asarray(R),
+                            jnp.asarray(C), jnp.asarray(cn),
+                            jnp.asarray(order), comp_pos=comp_pos,
+                            l1_ratio=l1r)
+    Dref, cnr = _reference(D, R, C, cn, order, comp_pos=comp_pos, l1r=l1r)
+    np.testing.assert_allclose(np.asarray(Dn), Dref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cnn), cnr, atol=2e-5)
 
 
 def test_supported_gating():
     assert bp.supported(70, 16000, np.float32, 0.0)
-    assert not bp.supported(70, 16000, np.float32, 1.0)   # l1 ball
+    assert bp.supported(70, 16000, np.float32, 1.0)
     assert not bp.supported(70, 16000, np.float64, 0.0)   # f64
     assert not bp.supported(1024, 16000, np.float32, 0.0)  # VMEM budget
