@@ -69,6 +69,7 @@ class _PickleStateMixin:
         st = state.get('_state')
         if st is not None:
             state['_state'] = ('__somf_state__', _state_to_host(st))
+        state['mesh'] = None  # device meshes don't survive pickling
         return state
 
     def __setstate__(self, state):
@@ -322,6 +323,15 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
             cursor=cursor,
             key=key,
         )
+        if self.mesh is not None:
+            # SPMD placement: D/B feature-sharded, per-sample state
+            # replicated; the step function is unchanged (GSPMD inserts
+            # the B/C psums). Pallas kernel off: no sharding rules yet.
+            from ..parallel import config_for_mesh, shard_state
+            self._state = shard_state(self._state, self.mesh)
+            self._cfg = config_for_mesh(self._cfg)
+            self._mesh_feat = self.mesh.shape.get('feat', 1) > 1
+
         self.labels_ = np.arange(n_samples)
         if self.verbose:
             self.verbose_iter_ = np.linspace(
@@ -408,6 +418,9 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         else:
             idx = jnp.asarray(np.asarray(sample_indices), jnp.int32)
 
+        if self.mesh is not None:
+            from ..parallel import shard_batch, shard_batches, shard_indices
+
         interactive = bool(self.verbose) or (self.callback is not None)
         n_full = n // b
         if interactive:
@@ -417,16 +430,25 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
                     print('Iteration %i' % self.n_iter_)
                     self.verbose_iter_ = self.verbose_iter_[1:]
                     self._callback()
-                self._state = somf_step_jit(
-                    self._state, X_dev[batch], idx[batch], cfg)
+                Xi, ii = X_dev[batch], idx[batch]
+                if self.mesh is not None:
+                    Xi = shard_batch(Xi, self.mesh, feat=self._mesh_feat)
+                    ii = shard_indices(ii, self.mesh)
+                self._state = somf_step_jit(self._state, Xi, ii, cfg)
         else:
             if n_full > 0:
                 Xb = X_dev[:n_full * b].reshape(n_full, b, -1)
                 ib = idx[:n_full * b].reshape(n_full, b)
+                if self.mesh is not None:
+                    Xb = shard_batches(Xb, self.mesh, feat=self._mesh_feat)
+                    ib = shard_indices(ib, self.mesh)
                 self._state = somf_scan(self._state, Xb, ib, cfg)
             if n_full * b < n:
-                self._state = somf_step_jit(
-                    self._state, X_dev[n_full * b:], idx[n_full * b:], cfg)
+                Xi, ii = X_dev[n_full * b:], idx[n_full * b:]
+                if self.mesh is not None:
+                    Xi = shard_batch(Xi, self.mesh, feat=self._mesh_feat)
+                    ii = shard_indices(ii, self.mesh)
+                self._state = somf_step_jit(self._state, Xi, ii, cfg)
         self._state.D.block_until_ready()
         self.time_ += _time.perf_counter() - t0
 

@@ -73,11 +73,32 @@ def shard_state(state, mesh):
     return jax.tree_util.tree_map_with_path(place, state)
 
 
+def _dp_ok(size, mesh):
+    return size % mesh.shape.get('dp', 1) == 0
+
+
 def shard_batch(X, mesh, feat=False):
     """Shard a (b, n_features) minibatch: rows over dp, optionally
-    features over feat."""
-    spec = P('dp', 'feat') if feat else P('dp', None)
+    features over feat. Batches not divisible by dp stay replicated on
+    the row axis (the odd remainder batch of an epoch)."""
+    dp = 'dp' if _dp_ok(X.shape[0], mesh) else None
+    spec = P(dp, 'feat') if feat else P(dp, None)
     return jax.device_put(X, NamedSharding(mesh, spec))
+
+
+def shard_batches(Xb, mesh, feat=False):
+    """Shard stacked (n_batches, b, n_features) minibatches for scan."""
+    dp = 'dp' if _dp_ok(Xb.shape[1], mesh) else None
+    spec = P(None, dp, 'feat') if feat else P(None, dp, None)
+    return jax.device_put(Xb, NamedSharding(mesh, spec))
+
+
+def shard_indices(idx, mesh):
+    """Shard (n_batches, b) or (b,) sample-index arrays over dp."""
+    b = idx.shape[-1]
+    dp = 'dp' if _dp_ok(b, mesh) else None
+    spec = P(None, dp) if idx.ndim == 2 else P(dp)
+    return jax.device_put(idx, NamedSharding(mesh, spec))
 
 
 def replicate(x, mesh):

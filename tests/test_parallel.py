@@ -72,3 +72,29 @@ def test_sharded_multi_step_trajectory(fitted_state):
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(n_dp=3, n_feat=2)
+
+
+def test_dictfact_mesh_param_matches_single_device():
+    """DictFact(mesh=...) must reproduce the single-device fit bitwise."""
+    rng = np.random.RandomState(0)
+    X = rng.randn(120, 32)
+    kwargs = dict(n_components=4, reduction=2, code_alpha=1e-4,
+                  comp_l1_ratio=0, n_epochs=2, batch_size=24,
+                  random_state=0)
+    ref = DictFact(**kwargs).fit(X)
+    sharded = DictFact(mesh=make_mesh(n_dp=4, n_feat=2), **kwargs).fit(X)
+    np.testing.assert_allclose(sharded.components_, ref.components_,
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(sharded.transform(X), ref.transform(X),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_dictfact_mesh_odd_batch():
+    """Remainder batches not divisible by dp fall back to replication."""
+    rng = np.random.RandomState(1)
+    X = rng.randn(50, 16)  # 50 = 2*24 + 2 remainder with batch 24
+    df = DictFact(n_components=4, reduction=2, batch_size=24,
+                  random_state=0, mesh=make_mesh(n_dp=8, n_feat=1))
+    df.prepare(n_samples=50, X=X)
+    df.partial_fit(X)
+    assert df.n_iter_ == 50
