@@ -115,7 +115,7 @@ def _solve_code(state, X, sample_indices, w_sample, subset, cfg):
     return code, Dx_avg, G_avg
 
 
-def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, key, cfg,
+def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, order, cfg,
                  n_features):
     """Block coordinate descent on the subset columns (dict_fact.py:650-715).
 
@@ -134,9 +134,6 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, key, cfg,
         G = G - D_subset @ D_subset.T
 
     R = grad_subset - C @ D_subset                       # residual gradient
-
-    key, order_key = jax.random.split(key)
-    order = jax.random.permutation(order_key, k)
 
     from ..ops import bcd_pallas
 
@@ -186,18 +183,19 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, key, cfg,
             G = G + D_subset @ D_subset.T
         else:
             G = D @ D.T
-    return D, G, comp_norm, key
+    return D, G, comp_norm
 
 
-def somf_step(state: SomfState, X, sample_indices, cfg: SomfConfig):
-    """One minibatch update (dict_fact.py:495-526, serial semantics)."""
+def somf_step_inner(state: SomfState, X, sample_indices, subset, order,
+                    cfg: SomfConfig):
+    """The deterministic step body given an externally drawn feature
+    subset and BCD atom order. Exposed separately so the full step can
+    be oracle-tested against an independent implementation
+    (tests/test_reference_parity.py). Leaves box/cursor/key untouched.
+    """
     dtype = state.D.dtype
     b = X.shape[0]
     n_features = state.D.shape[1]
-
-    # --- feature subset (sampler.pyx via traced cycling box) ---
-    subset, box, cursor, key = draw_subset(
-        state.box, state.cursor, state.key, cfg.len_subset, cfg.replacement)
 
     # --- step weights ---
     n_iter = state.n_iter + b
@@ -208,7 +206,6 @@ def somf_step(state: SomfState, X, sample_indices, cfg: SomfConfig):
         batch_weight(n_iter, b, cfg.learning_rate, 0.0, dtype=dtype), dtype)
 
     # --- code ---
-    state = state._replace(key=key)
     code_batch, Dx_avg, G_avg = _solve_code(
         state, X, sample_indices, w_sample, subset, cfg)
     code = (state.code.at[sample_indices].set(code_batch)
@@ -224,14 +221,24 @@ def somf_step(state: SomfState, X, sample_indices, cfg: SomfConfig):
 
     # --- dictionary update on the subset columns ---
     grad_subset = jnp.take(B, subset, axis=1)
-    D, G, comp_norm, key = _update_dict(
-        state.D, state.G, state.comp_norm, C, grad_subset, subset, w, key,
-        cfg, n_features)
+    D, G, comp_norm = _update_dict(
+        state.D, state.G, state.comp_norm, C, grad_subset, subset, w,
+        order, cfg, n_features)
 
-    return SomfState(D=D, C=C, B=B, G=G, comp_norm=comp_norm, code=code,
-                     Dx_avg=Dx_avg, G_avg=G_avg, n_iter=n_iter,
-                     sample_n_iter=sample_n_iter, box=box, cursor=cursor,
-                     key=key)
+    return state._replace(D=D, C=C, B=B, G=G, comp_norm=comp_norm,
+                          code=code, Dx_avg=Dx_avg, G_avg=G_avg,
+                          n_iter=n_iter, sample_n_iter=sample_n_iter)
+
+
+def somf_step(state: SomfState, X, sample_indices, cfg: SomfConfig):
+    """One minibatch update (dict_fact.py:495-526, serial semantics)."""
+    # --- feature subset (sampler.pyx via traced cycling box) ---
+    subset, box, cursor, key = draw_subset(
+        state.box, state.cursor, state.key, cfg.len_subset, cfg.replacement)
+    key, order_key = jax.random.split(key)
+    order = jax.random.permutation(order_key, cfg.n_components)
+    state = state._replace(box=box, cursor=cursor, key=key)
+    return somf_step_inner(state, X, sample_indices, subset, order, cfg)
 
 
 somf_step_jit = jax.jit(somf_step, static_argnames=("cfg",))
