@@ -70,4 +70,6 @@ def make_synthetic_ratings(n_users=1000, n_items=500, rank=10,
                    crop[0], crop[1])
     X = sp.csr_matrix((vals, (rows, cols)), shape=(n_users, n_items))
     X.sum_duplicates()
+    # duplicate (u, i) draws summed above may exceed the rating scale
+    X.data = np.clip(X.data, crop[0], crop[1])
     return X

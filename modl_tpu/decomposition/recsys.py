@@ -45,6 +45,18 @@ def _next_pow2(x):
     return p
 
 
+def _pad_rows_window(X, rows_w, n_features, dtype):
+    """Pack a (W, b) window of row ids into (W, b, P) padded tensors
+    with one shared power-of-two width."""
+    W, b = rows_w.shape
+    flat = rows_w.reshape(-1)
+    lens = X.indptr[flat + 1] - X.indptr[flat]
+    P = _next_pow2(max(int(lens.max()), 1))
+    idx, val, lens32, _ = _pad_rows(X, flat, n_features, dtype, width=P)
+    return (idx.reshape(W, b, P), val.reshape(W, b, P),
+            lens32.reshape(W, b), P)
+
+
 def _pad_rows(X, rows, n_features, dtype, width=None):
     """Pack CSR rows into (b, P) padded (indices, values); pad index ==
     n_features (dropped by XLA gather-fill / scatter-drop).
@@ -167,6 +179,32 @@ def _recsys_batch_step(D, C, B, comp_norm, feature_n_iter, n_iter, code_b,
     return D, C, B, comp_norm, feature_n_iter, n_iter_new
 
 
+@partial(jax.jit, static_argnames=("alpha", "learning_rate"))
+def _recsys_window(D, C, B, comp_norm, feature_n_iter, n_iter, code,
+                   rows_w, idx_w, val_w, lens_w, orders_w, alpha,
+                   learning_rate):
+    """Scan the batch step over a window of pre-packed minibatches.
+
+    One host->device transfer and one dispatch cover ``W`` batches —
+    essential when the host link has high per-transfer latency. Shapes:
+    rows_w (W, b), idx_w/val_w (W, b, P), lens_w (W, b), orders_w (W, k).
+    """
+    def body(carry, inp):
+        D, C, B, cn, fni, n_it, code = carry
+        rows_b, idx_b, val_b, lens_b, order_b = inp
+        code_b = _masked_ridge_codes(D, idx_b, val_b, lens_b, alpha)
+        code = code.at[rows_b].set(code_b)
+        D, C, B, cn, fni, n_it = _recsys_batch_step(
+            D, C, B, cn, fni, n_it, code_b, idx_b, val_b, lens_b,
+            order_b, learning_rate)
+        return (D, C, B, cn, fni, n_it, code), None
+
+    carry = (D, C, B, comp_norm, feature_n_iter, n_iter, code)
+    carry, _ = lax.scan(body, carry,
+                        (rows_w, idx_w, val_w, lens_w, orders_w))
+    return carry
+
+
 @jax.jit
 def _predict_entries(code, D, row_idx, col_idx):
     """out[e] = code[row[e]] . D[:, col[e]] for stored entries."""
@@ -251,9 +289,36 @@ class RecsysDictFact(BaseEstimator):
         alpha = float(self.alpha)
         lr = float(self.learning_rate)
 
+        interactive = bool(self.verbose) or (self.callback is not None)
+        window = 1 if interactive else 32
+
         for _ in range(self.n_epochs):
             permutation = self.random_state.permutation(n_samples)
-            for batch in gen_batches(n_samples, batch_size):
+            batches = list(gen_batches(n_samples, batch_size))
+            # group full-size batches into windows; odd-size tails run
+            # one-by-one (different static shape)
+            pos = 0
+            while pos < len(batches):
+                group = [bt for bt in batches[pos:pos + window]
+                         if bt.stop - bt.start == batch_size]
+                group = group if len(group) == window else []
+                if group and not interactive:
+                    rows_w = np.stack([permutation[bt] for bt in group])
+                    orders_w = np.stack(
+                        [self.random_state.permutation(self.n_components)
+                         for _ in group])
+                    idx_w, val_w, lens_w, P = _pad_rows_window(
+                        X, rows_w, n_features, dtype)
+                    (D, C, B, comp_norm, feature_n_iter, n_iter, code) = \
+                        _recsys_window(
+                            D, C, B, comp_norm, feature_n_iter, n_iter,
+                            code, jnp.asarray(rows_w), jnp.asarray(idx_w),
+                            jnp.asarray(val_w), jnp.asarray(lens_w),
+                            jnp.asarray(orders_w), alpha, lr)
+                    pos += window
+                    continue
+                batch = batches[pos]
+                pos += 1
                 rows = permutation[batch]
                 if self.verbose and getattr(self, 'verbose_iter_', None) \
                         and int(n_iter) >= self.verbose_iter_[0]:
@@ -274,6 +339,8 @@ class RecsysDictFact(BaseEstimator):
                                        order, lr)
                 self._D, self._C, self._B = D, C, B
                 self._code = code
+            self._D, self._C, self._B = D, C, B
+            self._code = code
         code = self._refit_device(D, X, dtype)
         self._D, self._code = D, code
         self.n_iter_ = int(n_iter)
@@ -281,13 +348,17 @@ class RecsysDictFact(BaseEstimator):
 
     def _refit_device(self, D, X, dtype, chunk=2048):
         """Recompute all codes with the current dictionary
-        (recsys.py:254-265)."""
+        (recsys.py:254-265). One shared pad width across chunks keeps
+        the number of compiled programs at <= 2 (full + tail chunk)."""
         n_samples, n_features = X.shape
         out = np.zeros((n_samples, self.n_components), dtype)
         alpha = float(self.alpha)
+        max_len = int(np.diff(X.indptr).max()) if X.nnz else 1
+        width = _next_pow2(max(max_len, 1))
         for batch in gen_batches(n_samples, chunk):
             rows = np.arange(batch.start, batch.stop)
-            idx, val, lens, P = _pad_rows(X, rows, n_features, dtype)
+            idx, val, lens, P = _pad_rows(X, rows, n_features, dtype,
+                                          width=width)
             code_b = _masked_ridge_codes(D, jnp.asarray(idx),
                                          jnp.asarray(val),
                                          jnp.asarray(lens), alpha)

@@ -1,0 +1,107 @@
+"""Recsys batch-step oracle parity: the jitted masked-MF update vs an
+independent numpy implementation of the reference's serial semantics
+(recsys.py:147-213), including the order-dependent per-feature B EMA
+and the l2-ball BCD on the union of supports.
+"""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from modl_tpu.decomposition.recsys import (_masked_ridge_codes, _pad_rows,
+                                           _recsys_batch_step)
+
+
+def _numpy_batch_step(X, rows, D, C, B, comp_norm, feature_n_iter, n_iter,
+                      alpha, lr):
+    """Reference serial semantics in numpy (recsys.py:147-213)."""
+    n_samples, n = X.shape
+    k = D.shape[0]
+    b = len(rows)
+    n_iter += b
+    i = np.arange(n_iter + 1 - b, n_iter + 1, dtype=float)
+    w = 1 - np.prod(1 - (1.0 / i) ** lr)
+
+    codes = np.zeros((b, k))
+    # per-row sequential: code solve + B EMA + feature counters
+    for j, r in enumerate(rows):
+        sl = slice(X.indptr[r], X.indptr[r + 1])
+        support = X.indices[sl]
+        vals = X.data[sl]
+        if len(support) == 0:
+            continue
+        reduction = n / len(support)
+        feature_n_iter[support] += 1
+        Ds = D[:, support]
+        G = Ds @ Ds.T + alpha / reduction * np.eye(k)
+        codes[j] = np.linalg.solve(G, Ds @ vals)
+        w_B = np.minimum(1.0, w * n_iter / feature_n_iter[support])
+        B[:, support] = (B[:, support] * (1 - w_B)
+                         + np.outer(codes[j], vals * w_B))
+
+    C = C * (1 - w) + w / b * codes.T @ codes
+
+    union = np.unique(X.indices[np.concatenate(
+        [np.arange(X.indptr[r], X.indptr[r + 1]) for r in rows])])
+    Ds = D[:, union].copy()
+    R = B[:, union] - C @ Ds
+    norms = np.sum(Ds ** 2, axis=1)
+    comp_norm = comp_norm + norms
+    order = np.arange(k)
+    for kk in order:
+        R += np.outer(C[kk], Ds[kk])
+        if C[kk, kk] > 1e-20:
+            Ds[kk] = R[kk] / C[kk, kk]
+        nr = np.sqrt(np.sum(Ds[kk] ** 2))
+        lim = np.sqrt(max(comp_norm[kk], 0))
+        if nr > lim:
+            Ds[kk] *= lim / nr
+        R -= np.outer(C[kk], Ds[kk])
+    comp_norm = comp_norm - np.sum(Ds ** 2, axis=1)
+    D = D.copy()
+    D[:, union] = Ds
+    return D, C, B, comp_norm, feature_n_iter, n_iter, codes
+
+
+def test_recsys_batch_step_matches_numpy():
+    rng = np.random.RandomState(0)
+    n_samples, n, k, b = 40, 30, 4, 8
+    X = sp.random(n_samples, n, density=0.3, random_state=0,
+                  format='csr')
+    X.data += 0.5
+    D = rng.randn(k, n)
+    D /= np.sqrt(np.sum(D ** 2, axis=1))[:, None]
+    C = np.zeros((k, k))
+    B = np.zeros((k, n))
+    comp_norm = np.zeros(k)
+    fni = np.zeros(n, int)
+    n_iter = 0
+    alpha, lr = 0.1, 0.9
+
+    Dd = jnp.asarray(D)
+    Cd, Bd = jnp.asarray(C), jnp.asarray(B)
+    cnd = jnp.asarray(comp_norm)
+    fnid = jnp.asarray(fni, jnp.int32)
+    nitd = jnp.zeros((), jnp.int32)
+
+    for t in range(4):
+        rows = rng.permutation(n_samples)[:b]
+        idx, val, lens, P = _pad_rows(X, rows, n, np.float64)
+        code_b = _masked_ridge_codes(Dd, jnp.asarray(idx),
+                                     jnp.asarray(val), jnp.asarray(lens),
+                                     alpha)
+        order = jnp.arange(k)
+        Dd, Cd, Bd, cnd, fnid, nitd = _recsys_batch_step(
+            Dd, Cd, Bd, cnd, fnid, nitd, code_b, jnp.asarray(idx),
+            jnp.asarray(val), jnp.asarray(lens), order, lr)
+        D, C, B, comp_norm, fni, n_iter, codes_ref = _numpy_batch_step(
+            X, rows, D, C, B, comp_norm, fni, n_iter, alpha, lr)
+        np.testing.assert_allclose(np.asarray(code_b), codes_ref,
+                                   atol=1e-9)
+
+    np.testing.assert_allclose(np.asarray(Dd), D, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Cd), C, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Bd), B, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(cnd), comp_norm, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(fnid), fni)
