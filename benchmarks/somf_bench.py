@@ -22,19 +22,22 @@ from modl_tpu.decomposition._step import somf_scan
 from modl_tpu.utils.profiling import sync
 
 CONFIGS = [
-    # name, n_features, k, batch, reduction, code_l1, comp_l1
-    ("adhd70", 200_000, 70, 100, 12, 0.0, 1.0),
-    ("adhd70_l2", 200_000, 70, 100, 12, 0.0, 0.0),
-    ("image256", 768, 256, 200, 10, 1.0, 0.0),
-    ("hcp1024_slim", 50_000, 256, 200, 20, 0.0, 1.0),
+    # name, n_features, k, batch, reduction, code_l1, comp_l1, alpha
+    # alpha follows the reference configs: 3e-4 for fMRI-style ridge
+    # codes (exps/multi_decompose_fmri.py), 0.1 for l1 image coding
+    # (ImageDictFact default - weak l1 makes CD grind unrealistically)
+    ("adhd70", 200_000, 70, 100, 12, 0.0, 1.0, 3e-4),
+    ("adhd70_l2", 200_000, 70, 100, 12, 0.0, 0.0, 3e-4),
+    ("image256", 768, 256, 200, 10, 1.0, 0.0, 0.1),
+    ("hcp1024_slim", 50_000, 256, 200, 20, 0.0, 1.0, 3e-4),
 ]
 
 
 def run_one(name, n_features, k, batch, reduction, code_l1, comp_l1,
-            n_samples=2000, epochs=3):
+            alpha, n_samples=2000, epochs=3):
     rng = np.random.RandomState(0)
     X = rng.randn(n_samples, n_features).astype(np.float32)
-    df = DictFact(n_components=k, reduction=reduction, code_alpha=1e-3,
+    df = DictFact(n_components=k, reduction=reduction, code_alpha=alpha,
                   code_l1_ratio=code_l1, comp_l1_ratio=comp_l1,
                   learning_rate=0.92, batch_size=batch, random_state=0,
                   dtype=np.float32)

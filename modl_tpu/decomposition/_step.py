@@ -19,7 +19,7 @@ counterpart), so refits with the same seed are bitwise reproducible.
 """
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -70,6 +70,7 @@ class SomfConfig:
     max_iter: int
     replacement: bool
     use_pallas: bool = False        # VMEM-resident BCD kernel when eligible
+    code_solver: str = 'cd'         # 'cd' (reference-exact) | 'fista' (MXU)
 
 
 def _solve_code(state, X, sample_indices, w_sample, subset, cfg):
@@ -107,11 +108,11 @@ def _solve_code(state, X, sample_indices, w_sample, subset, cfg):
     if cfg.G_agg == 'average':
         code = enet_regression_multi_gram(
             w0, G, Dx, X, cfg.code_l1_ratio, cfg.code_alpha, cfg.code_pos,
-            cfg.tol, cfg.max_iter)
+            cfg.tol, cfg.max_iter, solver=cfg.code_solver)
     else:
         code = enet_regression_single_gram(
             w0, G, Dx, X, cfg.code_l1_ratio, cfg.code_alpha, cfg.code_pos,
-            cfg.tol, cfg.max_iter)
+            cfg.tol, cfg.max_iter, solver=cfg.code_solver)
     return code, Dx_avg, G_avg
 
 
@@ -259,8 +260,9 @@ def somf_scan(state: SomfState, X_batches, idx_batches, cfg: SomfConfig):
 
 
 @partial(jax.jit, static_argnames=("code_l1_ratio", "code_alpha", "code_pos",
-                                   "tol", "max_iter"))
-def compute_code(D, G, X, code_l1_ratio, code_alpha, code_pos, tol, max_iter):
+                                   "tol", "max_iter", "solver"))
+def compute_code(D, G, X, code_l1_ratio, code_alpha, code_pos, tol, max_iter,
+                 solver='cd'):
     """Inference path: codes for new data rows (CodingMixin.transform,
     dict_fact.py:47-92). ``G`` may be None -> recomputed from D."""
     if G is None:
@@ -268,16 +270,17 @@ def compute_code(D, G, X, code_l1_ratio, code_alpha, code_pos, tol, max_iter):
     Dx = X @ D.T
     w0 = jnp.ones(Dx.shape, Dx.dtype)
     return enet_regression_single_gram(
-        w0, G, Dx, X, code_l1_ratio, code_alpha, code_pos, tol, max_iter)
+        w0, G, Dx, X, code_l1_ratio, code_alpha, code_pos, tol, max_iter,
+        solver=solver)
 
 
 @partial(jax.jit, static_argnames=("code_l1_ratio", "code_alpha", "code_pos",
-                                   "tol", "max_iter"))
+                                   "tol", "max_iter", "solver"))
 def objective_value(D, G, X, code_l1_ratio, code_alpha, code_pos, tol,
-                    max_iter):
+                    max_iter, solver='cd'):
     """Penalised reconstruction objective (dict_fact.py:94-114)."""
     code = compute_code(D, G, X, code_l1_ratio, code_alpha, code_pos, tol,
-                        max_iter)
+                        max_iter, solver=solver)
     loss = jnp.sum((X - code @ D) ** 2) / 2.0
     regul = code_alpha * (jnp.sum(jnp.abs(code)) * code_l1_ratio
                           + (1.0 - code_l1_ratio) * jnp.sum(code ** 2) / 2.0)

@@ -18,8 +18,6 @@ Deviations from the reference (documented):
   instead of MT19937: seeds give self-consistent reproducibility, not
   bit-parity with the reference.
 """
-import math
-
 import numpy as np
 
 import jax
@@ -30,7 +28,6 @@ from sklearn.utils.validation import check_is_fitted
 
 from ..ops.enet import enet_scale
 from ..ops.sampler import init_sampler_state
-from ..utils import get_sub_slice
 from ._step import (SomfConfig, SomfState, apply_permutation, compute_code,
                     objective_value, somf_scan, somf_step_jit)
 
@@ -96,6 +93,16 @@ class CodingMixin(TransformerMixin):
         self.max_iter = max_iter
         self.n_threads = n_threads  # accepted for API parity; XLA parallelises
 
+    def _code_solver(self):
+        cfg = getattr(self, '_cfg', None)
+        if cfg is not None:
+            return cfg.code_solver
+        solver = getattr(self, 'code_solver', 'auto')
+        if solver == 'auto':
+            import jax as _jax
+            return 'fista' if _jax.default_backend() != 'cpu' else 'cd'
+        return solver
+
     def _transform_gram(self):
         """G to use at transform time: the maintained Gram iff exact."""
         if getattr(self, 'G_agg', None) == 'full' and hasattr(self, '_state') \
@@ -119,7 +126,8 @@ class CodingMixin(TransformerMixin):
                                 float(self.code_l1_ratio),
                                 float(self.code_alpha),
                                 bool(self.code_pos),
-                                float(self.tol), int(self.max_iter))
+                                float(self.tol), int(self.max_iter),
+                                solver=self._code_solver())
             return np.asarray(code)
         out = np.empty((X.shape[0], self.n_components), X.dtype)
         for batch in gen_batches(X.shape[0], batch_size):
@@ -127,7 +135,7 @@ class CodingMixin(TransformerMixin):
                 D, G, jnp.asarray(X[batch], D.dtype),
                 float(self.code_l1_ratio), float(self.code_alpha),
                 bool(self.code_pos), float(self.tol),
-                int(self.max_iter)))
+                int(self.max_iter), solver=self._code_solver()))
         return out
 
     def score(self, X):
@@ -139,7 +147,8 @@ class CodingMixin(TransformerMixin):
         return float(objective_value(D, G, X, float(self.code_l1_ratio),
                                      float(self.code_alpha),
                                      bool(self.code_pos), float(self.tol),
-                                     int(self.max_iter)))
+                                     int(self.max_iter),
+                                     solver=self._code_solver()))
 
     def _components_device(self):
         if hasattr(self, '_state') and self._state is not None:
@@ -187,6 +196,7 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
                  replacement=True,
                  dtype=None,
                  mesh=None,
+                 code_solver='auto',
                  ):
         self.batch_size = batch_size
         self.learning_rate = learning_rate
@@ -213,6 +223,7 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         self.replacement = replacement
         self.dtype = dtype
         self.mesh = mesh
+        self.code_solver = code_solver
 
     # ------------------------------------------------------------------ #
     # state plumbing
@@ -232,6 +243,13 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         # VMEM-resident Pallas BCD kernel: TPU backends, f32, l2-ball
         use_pallas = (jax.default_backend() not in ('cpu',)
                       and np.dtype(dtype) == np.float32)
+        code_solver = self.code_solver
+        if code_solver == 'auto':
+            # sequential coordinate loops are loop-overhead-bound on
+            # accelerators; FISTA solves the same convex problem with
+            # batched MXU matmuls. CPU keeps reference-exact CD.
+            code_solver = ('fista' if jax.default_backend() != 'cpu'
+                           else 'cd')
         return SomfConfig(
             n_components=int(self.n_components),
             len_subset=len_subset,
@@ -251,6 +269,7 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
             max_iter=int(self.max_iter),
             replacement=bool(self.replacement),
             use_pallas=use_pallas,
+            code_solver=code_solver,
         )
 
     def prepare(self, n_samples=None, n_features=None, dtype=None, X=None):

@@ -20,8 +20,7 @@ import numpy as np
 from sklearn.base import TransformerMixin
 from sklearn.utils import check_random_state
 
-from ..input_data.fmri.base import (BaseNilearnEstimator, NumpyMasker,
-                                    check_embedded_masker)
+from ..input_data.fmri.base import BaseNilearnEstimator, NumpyMasker
 from .dict_fact import Coder, DictFact
 
 __all__ = ["fMRIDictFact", "fMRICoder", "fMRICoderMixin",

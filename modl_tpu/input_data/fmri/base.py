@@ -6,9 +6,7 @@ optional here: the native path is ``NumpyMasker`` — a boolean 3-D mask
 over 4-D arrays / ``.npy`` files (the TPU-friendly raw pipeline; NIfTI
 handling delegates to nilearn when importable).
 """
-import json
 import os
-import warnings
 
 import numpy as np
 

@@ -15,8 +15,6 @@ All functions are jit-safe: ``l1_ratio`` is treated as a static Python
 float (it selects the code path at trace time), while ``radius`` may be a
 traced scalar.
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -21,8 +21,6 @@ Replaces ``modl/decomposition/dict_fact_fast.pyx``:
 ``n_components`` (k) is small (4-1024): the inner loop over coordinates is
 sequential by nature, but every step is an O(batch x k) vector op.
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -162,28 +160,135 @@ def enet_cd_gram(w0, Q, q, y_norm2, l1_reg, l2_reg, positive, max_iter, tol):
     return w
 
 
+def fista_gram(w0, Q, q, y_norm2, l1_reg, l2_reg, positive, max_iter, tol):
+    """Batched FISTA on the Gram formulation — the MXU-native solver.
+
+    Solves the same problem as :func:`enet_cd_gram`; where CD does
+    ``sweeps x k`` *sequential* coordinate steps (loop-overhead-bound on
+    TPU), each FISTA iteration is one batched (b, k) x (k, k) matmul +
+    elementwise prox — fully parallel over samples and coordinates. The
+    duality-gap stopping rule is the same as CD's, checked every few
+    iterations; the returned minimiser agrees with CD up to solver
+    tolerance (the objective is convex).
+
+    Step size 1/L with L = lambda_max(Q) + l2 from a few power
+    iterations (Q may be rank-deficient when k > len(subset); FISTA
+    handles that).
+    """
+    b, k = q.shape
+    shared = Q.ndim == 2
+    dtype = q.dtype
+    l1_reg = jnp.asarray(l1_reg, dtype)
+    l2_reg = jnp.asarray(l2_reg, dtype)
+    gap_tol = tol * y_norm2
+    check_every = 5
+
+    if shared:
+        def matvec(W):  # (b, k) @ (k, k)
+            return W @ Q
+        v0 = jnp.ones((1, k), dtype)
+        def pow_mv(v):
+            return v @ Q
+    else:
+        def matvec(W):
+            return jnp.einsum('bij,bj->bi', Q, W)
+        v0 = jnp.ones((b, k), dtype)
+        def pow_mv(v):
+            return jnp.einsum('bij,bj->bi', Q, v)
+
+    # power iteration for the Lipschitz constant (per Gram)
+    def pow_body(_, v):
+        v = pow_mv(v)
+        return v / jnp.maximum(
+            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    v = lax.fori_loop(0, 16, pow_body, v0)
+    L = (jnp.sum(v * pow_mv(v), axis=-1)
+         / jnp.maximum(jnp.sum(v * v, axis=-1), 1e-30))
+    L = (jnp.maximum(L, 1e-12) + l2_reg) * 1.01       # (1,) or (b,)
+    inv_L = (1.0 / L)[:, None]
+
+    def prox(z):
+        out = _soft_threshold(z, l1_reg * inv_L)
+        if positive:
+            out = jnp.maximum(out, 0.0)
+        return out
+
+    def gap_of(w):
+        H = matvec(w)
+        q_dot_w = jnp.sum(w * q, axis=-1)
+        XtA = q - H - l2_reg * w
+        if positive:
+            dual_norm = jnp.max(XtA, axis=-1)
+        else:
+            dual_norm = jnp.max(jnp.abs(XtA), axis=-1)
+        R_norm2 = y_norm2 + jnp.sum(w * H, axis=-1) - 2.0 * q_dot_w
+        scaling = jnp.where(dual_norm > l1_reg,
+                            l1_reg / jnp.where(dual_norm != 0, dual_norm,
+                                               1.0),
+                            1.0)
+        gap = jnp.where(dual_norm > l1_reg,
+                        0.5 * (R_norm2 + R_norm2 * scaling ** 2),
+                        R_norm2)
+        return gap + (l1_reg * jnp.sum(jnp.abs(w), axis=-1)
+                      - scaling * y_norm2 + scaling * q_dot_w
+                      + 0.5 * l2_reg * (1.0 + scaling ** 2)
+                      * jnp.sum(w * w, axis=-1))
+
+    def body(carry):
+        w, z, t, it, _ = carry
+        grad = matvec(z) - q + l2_reg * z
+        w_new = prox(z - grad * inv_L)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        z_new = w_new + ((t - 1.0) / t_new) * (w_new - w)
+        it = it + 1
+        done = jax.lax.cond(
+            it % check_every == 0,
+            lambda: jnp.all(gap_of(w_new) < gap_tol),
+            lambda: jnp.asarray(False))
+        return w_new, z_new, t_new, it, done
+
+    def cond(carry):
+        _, _, _, it, done = carry
+        return (it < max_iter) & ~done
+
+    w0p = prox(w0)  # start feasible wrt positivity
+    w, _, _, _, _ = lax.while_loop(
+        cond, body, (w0p, w0p, jnp.asarray(1.0, dtype), jnp.int32(0),
+                     jnp.asarray(False)))
+    return w
+
+
 def enet_regression_single_gram(w0, G, Dx, X, l1_ratio, alpha, positive,
-                                tol, max_iter):
+                                tol, max_iter, solver='cd'):
     """Dispatcher mirroring ``_enet_regression_single_gram``.
 
-    l1_ratio == 0 -> shared-Gram batched ridge; else batched CD warm-started
-    at ``w0`` with ``y_norm2 = ||x_i||^2`` from the (possibly full-width)
-    data rows X (b, n_feat).
+    l1_ratio == 0 -> shared-Gram batched ridge; else batched CD (exact
+    reference semantics) or FISTA (MXU-native, ~20x faster at large k on
+    TPU) warm-started at ``w0`` with ``y_norm2 = ||x_i||^2`` from the
+    (possibly full-width) data rows X (b, n_feat).
     """
     if l1_ratio == 0.0:
         return ridge_single_gram(G, Dx, alpha)
     y_norm2 = jnp.sum(X * X, axis=-1)
+    if solver == 'fista':
+        return fista_gram(w0, G, Dx, y_norm2,
+                          alpha * l1_ratio, alpha * (1.0 - l1_ratio),
+                          positive, 20 * max_iter, tol)
     return enet_cd_gram(w0, G, Dx, y_norm2,
                         alpha * l1_ratio, alpha * (1.0 - l1_ratio),
                         positive, max_iter, tol)
 
 
 def enet_regression_multi_gram(w0, G, Dx, X, l1_ratio, alpha, positive,
-                               tol, max_iter):
+                               tol, max_iter, solver='cd'):
     """Dispatcher mirroring ``_enet_regression_multi_gram`` (per-sample G)."""
     if l1_ratio == 0.0:
         return ridge_multi_gram(G, Dx, alpha)
     y_norm2 = jnp.sum(X * X, axis=-1)
+    if solver == 'fista':
+        return fista_gram(w0, G, Dx, y_norm2,
+                          alpha * l1_ratio, alpha * (1.0 - l1_ratio),
+                          positive, 20 * max_iter, tol)
     return enet_cd_gram(w0, G, Dx, y_norm2,
                         alpha * l1_ratio, alpha * (1.0 - l1_ratio),
                         positive, max_iter, tol)

@@ -22,11 +22,10 @@ collectives needed at this layer).
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_state", "shard_batch", "replicate",
-           "config_for_mesh"]
+__all__ = ["make_mesh", "shard_state", "shard_batch", "shard_batches",
+           "shard_indices", "replicate", "config_for_mesh"]
 
 
 def config_for_mesh(cfg):

@@ -8,7 +8,6 @@ directories, config/info/run JSON dumps, and a captured stdout log.
 """
 import json
 import os
-import sys
 import time
 import traceback
 

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 from modl_tpu.ops import (enet_cd_gram, enet_regression_multi_gram,
                           enet_regression_single_gram, ridge_multi_gram,
                           ridge_single_gram)
+from modl_tpu.ops.solvers import fista_gram
 
 
 def _objective(w, Q, q, l1_reg, l2_reg):
@@ -95,6 +96,51 @@ def test_enet_cd_multi_gram_per_sample():
                 w = got[i].copy()
                 w[j] += eps
                 assert _objective(w, Gs[i], Dx[i], 0.2, 0.0) >= obj_own - 1e-9
+
+
+@pytest.mark.parametrize("positive", [False, True])
+@pytest.mark.parametrize("l1_ratio", [0.5, 1.0])
+def test_fista_matches_cd(l1_ratio, positive):
+    """FISTA and CD solve the same convex problem to the same optimum."""
+    rng = np.random.RandomState(5)
+    b, k, n = 8, 12, 40
+    X, D, G, Dx = _make_problem(rng, b=b, k=k, n=n)
+    alpha = 0.3
+    l1_reg = alpha * l1_ratio
+    l2_reg = alpha * (1 - l1_ratio)
+    y_norm2 = np.sum(X ** 2, axis=1)
+    args = (jnp.asarray(G), jnp.asarray(Dx), jnp.asarray(y_norm2),
+            l1_reg, l2_reg, positive)
+    w_cd = np.asarray(enet_cd_gram(jnp.ones((b, k)), *args,
+                                   max_iter=5000, tol=1e-12))
+    w_f = np.asarray(fista_gram(jnp.ones((b, k)), *args,
+                                max_iter=20000, tol=1e-12))
+    for i in range(b):
+        o_cd = _objective(w_cd[i], G, Dx[i], l1_reg, l2_reg)
+        o_f = _objective(w_f[i], G, Dx[i], l1_reg, l2_reg)
+        assert abs(o_cd - o_f) <= 1e-7 * max(1.0, abs(o_cd))
+    np.testing.assert_allclose(w_f, w_cd, atol=2e-4)
+
+
+def test_fista_rank_deficient_gram():
+    """k > subset size -> singular Gram; FISTA must still converge."""
+    rng = np.random.RandomState(6)
+    b, k, s = 6, 16, 5
+    Ds = rng.randn(k, s)
+    G = Ds @ Ds.T  # rank 5 << k
+    X = rng.randn(b, s)
+    Dx = X @ Ds.T
+    y_norm2 = np.sum(X ** 2, axis=1)
+    w = np.asarray(fista_gram(jnp.ones((b, k)), jnp.asarray(G),
+                              jnp.asarray(Dx), jnp.asarray(y_norm2),
+                              0.2, 0.0, False, 20000, 1e-10))
+    w_cd = np.asarray(enet_cd_gram(jnp.ones((b, k)), jnp.asarray(G),
+                                   jnp.asarray(Dx), jnp.asarray(y_norm2),
+                                   0.2, 0.0, False, 5000, 1e-10))
+    for i in range(b):
+        o_f = _objective(w[i], G, Dx[i], 0.2, 0.0)
+        o_cd = _objective(w_cd[i], G, Dx[i], 0.2, 0.0)
+        assert o_f <= o_cd + 1e-6 * max(1.0, abs(o_cd))
 
 
 def test_dispatchers_ridge_path():
