@@ -4,6 +4,11 @@ examples/decompose_fmri.py — ADHD, 20 components, reduction 12).
 Uses nilearn's ADHD fetcher when installed; otherwise runs on synthetic
 rest data with planted networks (offline default).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 

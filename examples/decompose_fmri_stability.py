@@ -2,6 +2,11 @@
 examples/decompose_fmri_stability.py): Amari discrepancy across seeds
 over an n_components grid on rest data.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -4,6 +4,11 @@ examples/decompose_images.py — lisboa 100 components).
 Runs on scipy's raccoon face by default (works offline); pass
 --source lisboa/aviris when the data files are available.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 

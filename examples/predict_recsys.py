@@ -3,6 +3,11 @@ examples/predict_recsys.py — ML-1M, 50 components, lr .95, detrend).
 
 Falls back to a synthetic planted-rank rating matrix offline.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 

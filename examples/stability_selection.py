@@ -2,6 +2,11 @@
 examples/stability_selection.py): fit several seeds per n_components and
 pick the size with the lowest mean Amari discrepancy.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

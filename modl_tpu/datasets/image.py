@@ -77,11 +77,28 @@ def load_image(source, scale=1, gray=False, memory=None):
 def make_synthetic_image(height=128, width=128, n_channels=1,
                          n_atoms=8, patch_size=8, missing_fraction=0.0,
                          seed=0):
-    """Offline synthetic image with planted local patch structure."""
+    """Offline synthetic image with planted *smooth* local structure.
+
+    Atoms are low-frequency (oriented gratings + Gaussian envelopes) so
+    extracted patches correlate strongly with a small dictionary — like
+    natural images, and unlike white noise (whose patch correlations
+    ~1/sqrt(d) would fall below any realistic code penalty, yielding
+    all-zero codes)."""
     rng = np.random.RandomState(seed)
-    atoms = rng.randn(n_atoms, patch_size, patch_size, n_channels)
+    yy, xx = np.meshgrid(np.linspace(-1, 1, patch_size),
+                         np.linspace(-1, 1, patch_size), indexing='ij')
+    atoms = np.zeros((n_atoms, patch_size, patch_size, n_channels))
+    for a in range(n_atoms):
+        theta = rng.uniform(0, np.pi)
+        freq = rng.uniform(0.5, 2.0) * np.pi
+        phase = rng.uniform(0, 2 * np.pi)
+        grating = np.cos(freq * (xx * np.cos(theta) + yy * np.sin(theta))
+                         + phase)
+        envelope = np.exp(-(xx ** 2 + yy ** 2) / 0.8)
+        atoms[a] = (grating * envelope)[..., None] * \
+            (1 + 0.1 * rng.randn(n_channels))[None, None, :]
     image = np.zeros((height, width, n_channels))
-    for _ in range(height * width // (patch_size ** 2) * 4):
+    for _ in range(height * width // (patch_size ** 2) * 8):
         i = rng.randint(height - patch_size)
         j = rng.randint(width - patch_size)
         a = rng.randint(n_atoms)
