@@ -8,5 +8,9 @@ with sklearn-compatible estimators.
 __version__ = "0.1.0"
 
 from .decomposition.dict_fact import Coder, DictFact
+from .decomposition.fmri import fMRICoder, fMRIDictFact
+from .decomposition.image import ImageDictFact
+from .decomposition.recsys import RecsysDictFact
 
-__all__ = ["DictFact", "Coder"]
+__all__ = ["DictFact", "Coder", "fMRIDictFact", "fMRICoder",
+           "ImageDictFact", "RecsysDictFact"]
