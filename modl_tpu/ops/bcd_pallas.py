@@ -111,9 +111,10 @@ def _kernel(order_ref, C_ref, Cdiag_ref, D_in, R_in, cn_in, D_out, R_out,
         budget = jnp.sum(cn_all * onehot) + norm_old
         Ck = jnp.sum(C_ref[:] * onehot, axis=0, keepdims=True)  # (1, k)
         Ckk = jnp.sum(Cdiag_ref[:] * onehot)
-        # R += outer(C[kk], D[kk])
-        R1 = R_out[:] + Ck.T * Dk
-        Rk = jnp.sum(R1 * onehot, axis=0, keepdims=True)      # (1, s)
+        # the post-"re-add own contribution" residual row is derivable
+        # from the maintained residual without materialising it:
+        # Rk = R[kk] + Ckk * Dk  (fuses the two rank-1 passes into one)
+        Rk = jnp.sum(R_out[:] * onehot, axis=0, keepdims=True) + Ckk * Dk
         good = Ckk > 1e-20
         Dk_new = jnp.where(good, Rk / jnp.where(good, Ckk, 1.0), Dk)
         if comp_pos:
@@ -121,7 +122,7 @@ def _kernel(order_ref, C_ref, Cdiag_ref, D_in, R_in, cn_in, D_out, R_out,
         Dk_new = _project_row(Dk_new, budget, l1_ratio)
         new_cn = budget - _enet_norm_row(Dk_new, l1_ratio)
         cn_out[:] = cn_all * (1.0 - onehot) + new_cn * onehot
-        R_out[:] = R1 - Ck.T * Dk_new
+        R_out[:] = R_out[:] - Ck.T * (Dk_new - Dk)
         D_out[:] = D_all * (1.0 - onehot) + onehot * Dk_new
         return carry
 
