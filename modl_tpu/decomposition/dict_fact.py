@@ -495,8 +495,11 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         return perm
 
     def set_params(self, **params):
-        """set_params with the G_agg='full' mid-run upgrade hook
-        (dict_fact.py:339-357)."""
+        """set_params with the mid-run upgrade hooks: G_agg='full'
+        recomputes the Gram (dict_fact.py:339-357); switching an
+        aggregator to 'average' lazily allocates the per-sample EMA
+        state (the reference crashes on this path - its Dx_average_ is
+        only allocated when prepare() already saw 'average')."""
         G_agg = params.pop('G_agg', None)
         if G_agg == 'full' and self.G_agg != 'full':
             if hasattr(self, '_state'):
@@ -506,6 +509,16 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         elif G_agg is not None:
             self.G_agg = G_agg
         BaseEstimator.set_params(self, **params)
+        if hasattr(self, '_state'):
+            st = self._state
+            k = self.n_components
+            if self.Dx_agg == 'average' and st.Dx_avg is None:
+                st = st._replace(Dx_avg=jnp.zeros(
+                    (self._n_samples, k), self._dtype))
+            if self.G_agg == 'average' and st.G_avg is None:
+                st = st._replace(G_avg=jnp.zeros(
+                    (self._n_samples, k, k), self._dtype))
+            self._state = st
         if hasattr(self, '_n_features'):
             self._cfg = self._make_config(self._n_features)
         return self

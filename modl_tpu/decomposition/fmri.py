@@ -282,7 +282,21 @@ class fMRIDictFact(fMRICoderMixin):
                     reduction = 1 + (self.reduction - 1) / sqrt(i + 1)
                     dict_fact.set_params(reduction=reduction)
                 record_list = random_state.permutation(n_records)
-                for record in record_list:
+
+                # host IO / device-compute overlap: while the device
+                # trains on record r, a background thread unmasks r+1
+                # (the reference loads serially, fmri.py:524-528; the
+                # io/cpu split accounting is preserved - io_time now
+                # counts only the *non-overlapped* wait).
+                from concurrent.futures import ThreadPoolExecutor
+
+                def load(record):
+                    img, these_confounds = data_list[record]
+                    return masker.transform(img, confounds=these_confounds)
+
+                pool = ThreadPoolExecutor(1)
+                pending = pool.submit(load, record_list[0])
+                for ri, record in enumerate(record_list):
                     if (self.verbose and verbose_iter_
                             and current_n_records >= verbose_iter_[0]):
                         print('Record %i' % current_n_records)
@@ -291,10 +305,10 @@ class fMRIDictFact(fMRICoderMixin):
                                           io_time)
                         verbose_iter_ = verbose_iter_[1:]
                     t0 = time.perf_counter()
-                    img, these_confounds = data_list[record]
-                    masked_data = masker.transform(
-                        img, confounds=these_confounds)
+                    masked_data = pending.result()
                     io_time += time.perf_counter() - t0
+                    if ri + 1 < len(record_list):
+                        pending = pool.submit(load, record_list[ri + 1])
 
                     t0 = time.perf_counter()
                     permutation = random_state.permutation(
@@ -310,6 +324,7 @@ class fMRIDictFact(fMRICoderMixin):
                                           sample_indices=sample_indices)
                     current_n_records += 1
                     cpu_time += time.perf_counter() - t0
+                pool.shutdown(wait=False)
         self.cpu_time_ = cpu_time
         self.io_time_ = io_time
         return _flip(dict_fact.components_)

@@ -172,6 +172,26 @@ def test_callback_and_verbose(capsys):
     assert len(calls) >= 1
 
 
+def test_set_params_g_agg_upgrade():
+    """Mid-run G_agg -> 'full' recomputes the Gram (dict_fact.py:339-357,
+    the 'gram' method's epoch switch)."""
+    X, _ = generate_synthetic()
+    dict_mf = DictFact(n_components=4, code_alpha=1e-4, comp_l1_ratio=0,
+                       G_agg='masked', Dx_agg='masked', reduction=2,
+                       random_state=0)
+    dict_mf.prepare(n_samples=X.shape[0], X=X)
+    dict_mf.partial_fit(X)
+    assert dict_mf.G_ is None
+    dict_mf.set_params(G_agg='full', Dx_agg='full')
+    G = dict_mf.G_
+    np.testing.assert_allclose(
+        G, dict_mf.components_ @ dict_mf.components_.T, rtol=1e-10)
+    dict_mf.partial_fit(X)  # continues with the exact Gram
+    np.testing.assert_allclose(
+        dict_mf.G_, dict_mf.components_ @ dict_mf.components_.T,
+        rtol=1e-6, atol=1e-8)
+
+
 def test_transform_score_consistency():
     X, _ = generate_synthetic()
     dict_mf = DictFact(n_components=4, code_alpha=1e-4, comp_l1_ratio=0,

@@ -101,6 +101,23 @@ def test_image_dict_fact(method):
     assert np.isfinite(score)
 
 
+@pytest.mark.parametrize("method", ['gram', 'average', 'reducing ratio'])
+def test_image_dict_fact_adaptive_methods(method):
+    """Methods with mid-run config changes: epoch-4 Gram upgrade,
+    per-epoch reduction annealing, per-sample EMA state."""
+    rng = np.random.RandomState(0)
+    base = rng.rand(30, 30, 1)
+    idf = ImageDictFact(method=method, n_components=6, batch_size=30,
+                        reduction=2, n_epochs=5, patch_size=(5, 5),
+                        max_patches=200, random_state=0)
+    idf.fit(base)
+    assert idf.components_.shape == (6, 5, 5, 1)
+    assert np.all(np.isfinite(idf.components_))
+    if method == 'gram':
+        # after the epoch-4 switch the learner holds an exact Gram
+        assert idf.dict_fact_.G_ is not None
+
+
 def test_image_dict_fact_nmf():
     rng = np.random.RandomState(0)
     img = np.abs(rng.rand(30, 30, 1))
