@@ -240,9 +240,12 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
             G_agg, Dx_agg = 'full', 'full'
         if dtype is None:
             dtype = getattr(self, '_dtype', np.float32)
-        # VMEM-resident Pallas BCD kernel: TPU backends, f32, l2-ball
+        # VMEM-resident Pallas BCD kernel: TPU backends, f32; kept off
+        # under meshes (no GSPMD sharding rules for the kernel yet) -
+        # decided here so mid-run set_params rebuilds stay consistent
         use_pallas = (jax.default_backend() not in ('cpu',)
-                      and np.dtype(dtype) == np.float32)
+                      and np.dtype(dtype) == np.float32
+                      and self.mesh is None)
         code_solver = self.code_solver
         if code_solver == 'auto':
             # sequential coordinate loops are loop-overhead-bound on
@@ -512,12 +515,31 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         if hasattr(self, '_state'):
             st = self._state
             k = self.n_components
+
+            def _alloc(shape):
+                z = jnp.zeros(shape, self._dtype)
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    z = jax.device_put(
+                        z, NamedSharding(self.mesh, PartitionSpec()))
+                return z
+
+            fresh_avg = False
             if self.Dx_agg == 'average' and st.Dx_avg is None:
-                st = st._replace(Dx_avg=jnp.zeros(
-                    (self._n_samples, k), self._dtype))
+                st = st._replace(Dx_avg=_alloc((self._n_samples, k)))
+                fresh_avg = True
             if self.G_agg == 'average' and st.G_avg is None:
-                st = st._replace(G_avg=jnp.zeros(
-                    (self._n_samples, k, k), self._dtype))
+                st = st._replace(G_avg=_alloc((self._n_samples, k, k)))
+                fresh_avg = True
+            if fresh_avg:
+                # sample_n_iter only drives the 'average' EMA weight
+                # t^-sample_learning_rate; stale pre-switch counts would
+                # give the zero-initialised averages a first-visit weight
+                # of e.g. 5^-0.76 = 0.29 and bias Dx/G low for all
+                # remaining epochs. Resetting makes the first post-switch
+                # visit weight 1 - exactly fresh-'average' semantics.
+                st = st._replace(sample_n_iter=jnp.zeros_like(
+                    st.sample_n_iter))
             self._state = st
         if hasattr(self, '_n_features'):
             self._cfg = self._make_config(self._n_features)

@@ -14,6 +14,7 @@ mirroring the reference's io_time/cpu_time accounting.
 """
 import itertools
 import time
+from concurrent.futures import ThreadPoolExecutor
 from math import sqrt
 
 import numpy as np
@@ -273,57 +274,60 @@ class fMRIDictFact(fMRICoderMixin):
                 verbose_iter_ = np.linspace(0, n_records * self.n_epochs,
                                             self.verbose).tolist()
             current_n_records = 0
-            for i in range(self.n_epochs):
-                if self.verbose:
-                    print('Epoch %i' % (i + 1))
-                if method == 'gram' and i == 5:
-                    dict_fact.set_params(G_agg='full', Dx_agg='average')
-                if method == 'reducing ratio':
-                    reduction = 1 + (self.reduction - 1) / sqrt(i + 1)
-                    dict_fact.set_params(reduction=reduction)
-                record_list = random_state.permutation(n_records)
 
-                # host IO / device-compute overlap: while the device
-                # trains on record r, a background thread unmasks r+1
-                # (the reference loads serially, fmri.py:524-528; the
-                # io/cpu split accounting is preserved - io_time now
-                # counts only the *non-overlapped* wait).
-                from concurrent.futures import ThreadPoolExecutor
+            def load(record):
+                img, these_confounds = data_list[record]
+                return masker.transform(img, confounds=these_confounds)
 
-                def load(record):
-                    img, these_confounds = data_list[record]
-                    return masker.transform(img, confounds=these_confounds)
+            # host IO / device-compute overlap: while the device trains
+            # on record r, a background thread unmasks r+1 (the
+            # reference loads serially, fmri.py:524-528); io_time counts
+            # only the non-overlapped wait. One executor for the whole
+            # fit, shut down even on exception paths.
+            pool = ThreadPoolExecutor(1)
+            try:
+                for i in range(self.n_epochs):
+                    if self.verbose:
+                        print('Epoch %i' % (i + 1))
+                    if method == 'gram' and i == 5:
+                        dict_fact.set_params(G_agg='full',
+                                             Dx_agg='average')
+                    if method == 'reducing ratio':
+                        reduction = 1 + (self.reduction - 1) / sqrt(i + 1)
+                        dict_fact.set_params(reduction=reduction)
+                    record_list = random_state.permutation(n_records)
+                    pending = pool.submit(load, record_list[0])
+                    for ri, record in enumerate(record_list):
+                        if (self.verbose and verbose_iter_
+                                and current_n_records >= verbose_iter_[0]):
+                            print('Record %i' % current_n_records)
+                            if self.callback is not None:
+                                self.callback(masker, dict_fact, cpu_time,
+                                              io_time)
+                            verbose_iter_ = verbose_iter_[1:]
+                        t0 = time.perf_counter()
+                        masked_data = pending.result()
+                        io_time += time.perf_counter() - t0
+                        if ri + 1 < len(record_list):
+                            pending = pool.submit(load,
+                                                  record_list[ri + 1])
 
-                pool = ThreadPoolExecutor(1)
-                pending = pool.submit(load, record_list[0])
-                for ri, record in enumerate(record_list):
-                    if (self.verbose and verbose_iter_
-                            and current_n_records >= verbose_iter_[0]):
-                        print('Record %i' % current_n_records)
-                        if self.callback is not None:
-                            self.callback(masker, dict_fact, cpu_time,
-                                          io_time)
-                        verbose_iter_ = verbose_iter_[1:]
-                    t0 = time.perf_counter()
-                    masked_data = pending.result()
-                    io_time += time.perf_counter() - t0
-                    if ri + 1 < len(record_list):
-                        pending = pool.submit(load, record_list[ri + 1])
-
-                    t0 = time.perf_counter()
-                    permutation = random_state.permutation(
-                        masked_data.shape[0])
-                    if method in ('average', 'gram'):
-                        sample_indices = np.arange(
-                            indices_list[record], indices_list[record + 1])
-                        sample_indices = sample_indices[permutation]
-                    else:
-                        sample_indices = None
-                    masked_data = masked_data[permutation]
-                    dict_fact.partial_fit(masked_data,
-                                          sample_indices=sample_indices)
-                    current_n_records += 1
-                    cpu_time += time.perf_counter() - t0
+                        t0 = time.perf_counter()
+                        permutation = random_state.permutation(
+                            masked_data.shape[0])
+                        if method in ('average', 'gram'):
+                            sample_indices = np.arange(
+                                indices_list[record],
+                                indices_list[record + 1])
+                            sample_indices = sample_indices[permutation]
+                        else:
+                            sample_indices = None
+                        masked_data = masked_data[permutation]
+                        dict_fact.partial_fit(
+                            masked_data, sample_indices=sample_indices)
+                        current_n_records += 1
+                        cpu_time += time.perf_counter() - t0
+            finally:
                 pool.shutdown(wait=False)
         self.cpu_time_ = cpu_time
         self.io_time_ = io_time
