@@ -16,13 +16,15 @@ from modl_tpu.utils.system import get_output_dir
 def main(n_jobs=1):
     out = os.path.join(get_output_dir(), 'unmasked', 'adhd')
     try:
+        # capability check BEFORE any download: NIfTI unmasking needs a
+        # nilearn masker (the numpy path only handles arrays/.npy)
+        import nilearn.input_data  # noqa: F401
         from modl_tpu.datasets.adhd import fetch_adhd
         dataset = fetch_adhd(n_subjects=40)
-        imgs = dataset['func']
-        mask = None
-        raise NotImplementedError(
-            'NIfTI unmasking requires nilearn maskers; use '
-            'nilearn-side unmasking, then feed the .npy records')
+        from nilearn.input_data import MultiNiftiMasker
+        masker = MultiNiftiMasker().fit(dataset['func'])
+        imgs = [masker.transform(f) for f in dataset['func']]
+        mask = np.asanyarray(masker.mask_img_.dataobj) != 0
     except Exception as e:
         print('synthetic fallback (%s)' % e)
         from modl_tpu.datasets.adhd import make_synthetic_rest_data

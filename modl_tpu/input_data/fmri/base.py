@@ -67,11 +67,11 @@ class NumpyMasker(BaseEstimator):
 
     def transform(self, img, confounds=None):
         """(x, y, z, t) array or .npy path -> (t, n_voxels)."""
-        self._check_fitted()
         data = _load_img(img)
-        if data.ndim == 2:  # already masked (raw path)
+        if data.ndim == 2:  # already masked (raw path) - no mask needed
             out = np.asarray(data, np.float64)
         else:
+            self._check_fitted()
             out = data[self.mask_img_].T.astype(np.float64)
         if self.detrend:
             t = np.arange(out.shape[0], dtype=np.float64)

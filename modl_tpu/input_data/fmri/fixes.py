@@ -1,17 +1,19 @@
-"""Caching/pickling fixes for fMRI data objects.
+"""Caching fixes for fMRI data objects.
 
-Reference: modl/input_data/fmri/fixes.py — picklable ``Nifti1Image`` and
-a joblib hasher that hashes NIfTI images by (filename, mtime) instead of
-content so cache lookups don't read gigabytes.
+Reference: modl/input_data/fmri/fixes.py — a joblib hasher that hashes
+NIfTI images by (filename, mtime) instead of content so cache lookups
+don't read gigabytes, plus a picklable ``Nifti1Image``.
 
 Here the native record format is plain ``.npy`` paths (strings — already
 cheap to hash), so only two pieces remain:
 
 - ``filename_mtime_token``: the (path, mtime, size) identity token used
   to key caches on file identity without content reads;
-- ``monkey_patch_nifti_image``: when nibabel/nilearn are importable,
-  registers a joblib hasher for NIfTI images with the reference's
-  (filename, mtime) semantics, and makes in-memory images picklable.
+- ``monkey_patch_nifti_image``: when nibabel is importable, replaces
+  ``joblib.hashing.hash`` (and the ``joblib.memory`` from-import binding)
+  with a variant whose Hasher substitutes file-backed ``Nifti1Image``
+  objects by their (filename, mtime, size) token — the reference's
+  semantics (fixes.py:61-109).
 """
 import os
 
@@ -25,10 +27,9 @@ def filename_mtime_token(path):
 
 
 def monkey_patch_nifti_image():
-    """Apply nibabel/joblib patches when those libraries are present.
-
-    No-op (returns False) without nibabel — the raw ``.npy`` pipeline
-    needs no patching.
+    """Route joblib hashing of file-backed NIfTI images through their
+    (filename, mtime, size) token. No-op (returns False) without
+    nibabel — the raw ``.npy`` pipeline needs no patching.
     """
     try:
         import nibabel
@@ -36,13 +37,32 @@ def monkey_patch_nifti_image():
     except ImportError:
         return False
 
-    class NibabelHasher(hashing.Hasher):  # pragma: no cover - needs nibabel
+    base_cls = getattr(hashing, 'NumpyHasher', hashing.Hasher)
+
+    class NibabelHasher(base_cls):  # pragma: no cover - needs nibabel
         def save(self, obj):
             if isinstance(obj, nibabel.Nifti1Image):
                 filename = obj.get_filename()
                 if filename is not None:
-                    obj = filename_mtime_token(filename)
-            hashing.Hasher.save(self, obj)
+                    obj = ('__nifti_token__',
+                           filename_mtime_token(filename))
+            base_cls.save(self, obj)
 
-    hashing.NibabelHasher = NibabelHasher
+    def nifti_hash(obj, hash_name='md5',
+                   coerce_mmap=False):  # pragma: no cover
+        try:
+            hasher = NibabelHasher(hash_name=hash_name,
+                                   coerce_mmap=coerce_mmap)
+        except TypeError:  # plain Hasher has no coerce_mmap
+            hasher = NibabelHasher(hash_name=hash_name)
+        return hasher.hash(obj)
+
+    hashing.hash = nifti_hash
+    # joblib.memory binds `hash` via from-import at module load; rebind
+    try:
+        from joblib import memory as joblib_memory
+        if hasattr(joblib_memory, 'hash'):
+            joblib_memory.hash = nifti_hash
+    except Exception:  # pragma: no cover
+        pass
     return True

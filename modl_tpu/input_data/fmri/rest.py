@@ -2,7 +2,7 @@
 
 Reference: modl/input_data/fmri/rest.py (create_raw_rest_data /
 get_raw_rest_data). Each record is unmasked to a 2-D float array stored
-as ``.npy``; a ``data.csv`` manifest and ``mask.npy`` accompany them.
+as ``.npy``; a ``data.json`` manifest and ``mask.npy`` accompany them.
 Corrupt records write an ``-error`` sidecar with the traceback and are
 skipped (the reference's skip-and-log contract, rest.py:34-42).
 """

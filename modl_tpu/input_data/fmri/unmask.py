@@ -40,14 +40,8 @@ class MultiRawMasker(BaseEstimator):
             data = np.load(imgs, mmap_mode='r')
         else:
             data = np.asarray(imgs)
-        if data.ndim == 2:
-            out = np.asarray(data, np.float64)
-            if self.standardize:
-                out = out - out.mean(axis=0)
-                std = out.std(axis=0)
-                std[std == 0] = 1
-                out = out / std
-            return out
+        # NumpyMasker handles both 2-D (pre-unmasked) and 4-D inputs and
+        # applies detrend/standardize/confounds uniformly
         return self._backing.transform(data, confounds=confounds)
 
     def inverse_transform(self, components):

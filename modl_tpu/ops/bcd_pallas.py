@@ -42,7 +42,9 @@ def supported(k, s, dtype, comp_l1_ratio):
     del comp_l1_ratio  # both geometries are covered
     if jnp.dtype(dtype) != jnp.float32:
         return False
-    if 2 * k * s * 4 > VMEM_BUDGET:
+    # resident buffers: D + R (k x s each), C (k x k), diag/cn/onehot
+    vmem_bytes = (2 * k * s + k * k + 4 * k) * 4
+    if vmem_bytes > VMEM_BUDGET:
         return False
     return True
 

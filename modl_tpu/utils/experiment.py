@@ -62,11 +62,15 @@ class Experiment:
         base = self.output_dir or os.path.join('output', self.name)
         os.makedirs(base, exist_ok=True)
         run_id = 1
-        while os.path.exists(os.path.join(base, str(run_id))):
-            run_id += 1
-        run_dir = os.path.join(base, str(run_id))
-        os.makedirs(run_dir)
-        return run_id, run_dir
+        while True:  # makedirs is the atomic claim (sweeps run in parallel)
+            while os.path.exists(os.path.join(base, str(run_id))):
+                run_id += 1
+            run_dir = os.path.join(base, str(run_id))
+            try:
+                os.makedirs(run_dir)
+                return run_id, run_dir
+            except FileExistsError:
+                run_id += 1
 
     def run(self, config_updates=None):
         cfg = dict(self._config_fn()) if self._config_fn else {}

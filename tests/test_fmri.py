@@ -147,6 +147,19 @@ def test_multi_raw_masker():
     assert len(outs) == 2
 
 
+def test_multi_raw_masker_detrends_2d_records():
+    """The raw 2-D fast path must apply detrend like the 4-D path."""
+    rng = np.random.RandomState(0)
+    t = np.arange(50, dtype=float)
+    data = np.outer(t, np.full(20, 0.5)) + rng.randn(50, 20) * 0.01
+    masker = MultiRawMasker(detrend=True).fit()
+    out = masker.transform(data)
+    # residual slope after detrending ~ 0
+    tc = t - t.mean()
+    slope = (tc[:, None] * (out - out.mean(0))).sum(0) / np.sum(tc * tc)
+    np.testing.assert_allclose(slope, 0, atol=1e-10)
+
+
 def test_numpy_masker_standardize_detrend():
     rng = np.random.RandomState(0)
     data = rng.randn(5, 5, 1, 30)
