@@ -15,7 +15,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["save_state", "load_state", "save_estimator", "load_estimator"]
+__all__ = ["save_state", "load_state", "save_estimator", "load_estimator",
+           "CheckpointCallback"]
 
 
 def _state_to_numpy(state):
@@ -62,6 +63,37 @@ def load_state(path, state_cls):
     fields = {f: (jnp.asarray(restored[f]) if f in restored else None)
               for f in state_cls._fields}
     return state_cls(**fields)
+
+
+class CheckpointCallback:
+    """Periodic mid-training checkpointing (preemption recovery).
+
+    Pass as ``DictFact(callback=...)``; every ``every`` invocations it
+    saves the learner state. Resume with::
+
+        df.prepare(...); df._state = load_state(path, SomfState)
+        df.partial_fit(...)
+
+    Restart reproduces the uninterrupted trajectory exactly
+    (tests/test_checkpoint.py).
+    """
+
+    def __init__(self, path, every=1):
+        self.path = path
+        self.every = every
+        self.n_calls = 0
+        self.n_saved = 0
+
+    def __call__(self, estimator):
+        self.n_calls += 1
+        if self.n_calls % self.every:
+            return
+        state = getattr(estimator, '_state', None)
+        if state is None and hasattr(estimator, 'dict_fact_'):
+            state = getattr(estimator.dict_fact_, '_state', None)
+        if state is not None:
+            save_state(state, self.path)
+            self.n_saved += 1
 
 
 def save_estimator(estimator, path):

@@ -74,6 +74,21 @@ def test_state_resume_trajectory_identical(tmp_path):
     np.testing.assert_array_equal(df2.components_, D_uninterrupted)
 
 
+def test_checkpoint_callback(tmp_path):
+    from modl_tpu.utils.checkpoint import CheckpointCallback
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(60, 24)
+    path = str(tmp_path / 'ckpt.npz')
+    cb = CheckpointCallback(path, every=1)
+    df = DictFact(n_components=4, reduction=2, batch_size=20, verbose=3,
+                  n_epochs=2, random_state=0, callback=cb)
+    df.fit(X)
+    assert cb.n_saved >= 1
+    restored = load_state(path, SomfState)
+    assert np.asarray(restored.D).shape == (4, 24)
+
+
 def test_experiment_harness(tmp_path):
     exp = Experiment('toy', output_dir=str(tmp_path))
 
