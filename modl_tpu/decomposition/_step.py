@@ -32,6 +32,35 @@ from ..ops.solvers import (enet_regression_multi_gram,
 from ..ops.weights import batch_weight
 
 
+def _mem_sharding(kind):
+    # offload is single-device by design (rejected together with meshes)
+    return jax.sharding.SingleDeviceSharding(jax.devices()[0],
+                                             memory_kind=kind)
+
+
+def _to_host(x):
+    return jax.device_put(x, _mem_sharding('pinned_host'))
+
+
+def _to_device(x):
+    return jax.device_put(x, _mem_sharding('device'))
+
+
+def _host_gather(arr, idx):
+    """Gather rows of a pinned_host-resident array (host compute)."""
+    from jax.experimental.compute_on import compute_on
+    with compute_on('device_host'):
+        out = arr[_to_host(idx)]
+    return _to_device(out)
+
+
+def _host_scatter_set(arr, idx, val):
+    """Scatter rows into a pinned_host-resident array (host compute)."""
+    from jax.experimental.compute_on import compute_on
+    with compute_on('device_host'):
+        return arr.at[_to_host(idx)].set(_to_host(val))
+
+
 class SomfState(NamedTuple):
     """All learner state (mirrors the attribute list dict_fact.py:223-249)."""
     D: jax.Array                    # (k, n_features) dictionary
@@ -71,6 +100,7 @@ class SomfConfig:
     replacement: bool
     use_pallas: bool = False        # VMEM-resident BCD kernel when eligible
     code_solver: str = 'cd'         # 'cd' (reference-exact) | 'fista' (MXU)
+    average_offload: bool = False   # per-sample EMA state lives in host RAM
 
 
 def _solve_code(state, X, sample_indices, w_sample, subset, cfg):
@@ -89,6 +119,9 @@ def _solve_code(state, X, sample_indices, w_sample, subset, cfg):
         X_subset = jnp.take(X, subset, axis=1)          # (b, s)
         Dx = (X_subset @ D_subset.T) * reduction
         if cfg.Dx_agg == 'average':
+            # Dx_avg (n, k) stays device-resident even in offload mode -
+            # it is small (the reference likewise memmaps only
+            # G_average_, dict_fact.py:431-441)
             old = Dx_avg[sample_indices]
             Dx = old * (1.0 - w_sample[:, None]) + Dx * w_sample[:, None]
             Dx_avg = Dx_avg.at[sample_indices].set(Dx)
@@ -98,10 +131,16 @@ def _solve_code(state, X, sample_indices, w_sample, subset, cfg):
     else:
         G = (D_subset @ D_subset.T) * reduction
         if cfg.G_agg == 'average':
-            old = G_avg[sample_indices]                  # (b, k, k)
+            if cfg.average_offload:
+                old = _host_gather(G_avg, sample_indices)  # (b, k, k)
+            else:
+                old = G_avg[sample_indices]
             G = (old * (1.0 - w_sample[:, None, None])
                  + G[None] * w_sample[:, None, None])
-            G_avg = G_avg.at[sample_indices].set(G)
+            if cfg.average_offload:
+                G_avg = _host_scatter_set(G_avg, sample_indices, G)
+            else:
+                G_avg = G_avg.at[sample_indices].set(G)
 
     w0 = (state.code[sample_indices] if state.code is not None
           else jnp.ones(Dx.shape, Dx.dtype))
@@ -279,6 +318,51 @@ def somf_step(state: SomfState, X, sample_indices, cfg: SomfConfig):
 somf_step_jit = jax.jit(somf_step, static_argnames=("cfg",))
 
 
+def offload_supported():
+    """Whether the backend can execute host-memory placement (the CPU
+    runtime lacks the annotate_device_placement custom call). Runs the
+    exact gather/scatter pattern the offloaded step uses."""
+    try:
+        host = _mem_sharding('pinned_host')
+        x = jax.device_put(jnp.zeros((8, 2)), host)
+        idx = jnp.arange(4, dtype=jnp.int32)
+
+        def f(x, idx):
+            blk = _host_gather(x, idx) + 1.0
+            return _host_scatter_set(x, idx, blk)
+
+        out = jax.jit(f, out_shardings=host)(x, idx)
+        jax.block_until_ready(out)
+        return out.sharding.memory_kind == 'pinned_host'
+    except Exception:
+        return False
+
+
+def state_out_shardings(state, cfg):
+    """out_shardings pytree pinning the offloaded EMA leaves to host."""
+    host = _mem_sharding('pinned_host')
+    fields = {f: None for f in state._fields}
+    if cfg.average_offload and state.G_avg is not None:
+        fields['G_avg'] = host
+    return SomfState(**fields)
+
+
+def make_offload_step(state, cfg):
+    return jax.jit(somf_step, static_argnames=("cfg",),
+                   out_shardings=state_out_shardings(state, cfg))
+
+
+def make_offload_scan(state, cfg):
+    def scan_fn(state, X_batches, idx_batches, cfg):
+        def body(carry, inp):
+            Xb, idxb = inp
+            return somf_step(carry, Xb, idxb, cfg), None
+        state, _ = lax.scan(body, state, (X_batches, idx_batches))
+        return state
+    return jax.jit(scan_fn, static_argnames=("cfg",),
+                   out_shardings=state_out_shardings(state, cfg))
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def somf_scan(state: SomfState, X_batches, idx_batches, cfg: SomfConfig):
     """Fused epoch segment: scan ``somf_step`` over stacked minibatches.
@@ -324,3 +408,11 @@ def objective_value(D, G, X, code_l1_ratio, code_alpha, code_pos, tol,
 @partial(jax.jit, static_argnames=("axis",))
 def apply_permutation(arr, perm, axis=0):
     return jnp.take(arr, perm, axis=axis)
+
+
+@jax.jit
+def apply_permutation_host(arr, perm):
+    """Row permutation of a pinned_host-resident array, on the host."""
+    from jax.experimental.compute_on import compute_on
+    with compute_on('device_host'):
+        return arr[_to_host(perm)]

@@ -197,6 +197,7 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
                  dtype=None,
                  mesh=None,
                  code_solver='auto',
+                 average_offload=False,
                  ):
         self.batch_size = batch_size
         self.learning_rate = learning_rate
@@ -224,6 +225,7 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         self.dtype = dtype
         self.mesh = mesh
         self.code_solver = code_solver
+        self.average_offload = average_offload
 
     # ------------------------------------------------------------------ #
     # state plumbing
@@ -273,6 +275,7 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
             replacement=bool(self.replacement),
             use_pallas=use_pallas,
             code_solver=code_solver,
+            average_offload=bool(self.average_offload),
         )
 
     def prepare(self, n_samples=None, n_features=None, dtype=None, X=None):
@@ -325,9 +328,31 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         box, cursor = init_sampler_state(n_features, box_key)
 
         G = (D @ D.T).astype(dtype) if cfg.G_agg == 'full' else None
+
+        self._offload_fns = None
+
+        def _avg_alloc(shape):
+            z = jnp.zeros(shape, dtype)
+            if cfg.average_offload:
+                from ._step import offload_supported
+                if not offload_supported():
+                    raise ValueError(
+                        'average_offload requires a backend with host '
+                        'memory-placement support (TPU); this backend '
+                        'cannot execute it')
+                # host-RAM residency (the reference's np.memmap spill for
+                # G_average_, dict_fact.py:431-439): the step gathers and
+                # scatters per-batch slices via host compute
+                if self.mesh is not None:
+                    raise ValueError('average_offload is not supported '
+                                     'together with a device mesh')
+                z = jax.device_put(z, jax.sharding.SingleDeviceSharding(
+                    jax.devices()[0], memory_kind='pinned_host'))
+            return z
+
         Dx_avg = (jnp.zeros((n_samples, k), dtype)
                   if cfg.Dx_agg == 'average' else None)
-        G_avg = (jnp.zeros((n_samples, k, k), dtype)
+        G_avg = (_avg_alloc((n_samples, k, k))
                  if cfg.G_agg == 'average' else None)
 
         self._state = SomfState(
@@ -426,6 +451,17 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         self._partial_fit_device(X_dev, sample_indices)
         return self
 
+    def _step_fns(self):
+        """(step, scan) jitted callables; offload mode pins the EMA
+        leaves to host memory via out_shardings."""
+        if not self._cfg.average_offload:
+            return somf_step_jit, somf_scan
+        if getattr(self, '_offload_fns', None) is None:
+            from ._step import make_offload_scan, make_offload_step
+            self._offload_fns = (make_offload_step(self._state, self._cfg),
+                                 make_offload_scan(self._state, self._cfg))
+        return self._offload_fns
+
     def _partial_fit_device(self, X_dev, sample_indices):
         import time as _time
         t0 = _time.perf_counter()
@@ -444,6 +480,10 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
             from ..parallel import shard_batch, shard_batches, shard_indices
 
         interactive = bool(self.verbose) or (self.callback is not None)
+        # host-offloaded state cannot ride a lax.scan carry (XLA layout
+        # assignment rejects host-placed while-loop carries on this
+        # toolchain) -> per-batch stepping
+        interactive = interactive or cfg.average_offload
         n_full = n // b
         if interactive:
             for batch in gen_batches(n, b):
@@ -456,7 +496,8 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
                 if self.mesh is not None:
                     Xi = shard_batch(Xi, self.mesh, feat=self._mesh_feat)
                     ii = shard_indices(ii, self.mesh)
-                self._state = somf_step_jit(self._state, Xi, ii, cfg)
+                step_fn, _ = self._step_fns()
+                self._state = step_fn(self._state, Xi, ii, cfg)
         else:
             if n_full > 0:
                 Xb = X_dev[:n_full * b].reshape(n_full, b, -1)
@@ -464,13 +505,15 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
                 if self.mesh is not None:
                     Xb = shard_batches(Xb, self.mesh, feat=self._mesh_feat)
                     ib = shard_indices(ib, self.mesh)
-                self._state = somf_scan(self._state, Xb, ib, cfg)
+                _, scan_fn = self._step_fns()
+                self._state = scan_fn(self._state, Xb, ib, cfg)
             if n_full * b < n:
                 Xi, ii = X_dev[n_full * b:], idx[n_full * b:]
                 if self.mesh is not None:
                     Xi = shard_batch(Xi, self.mesh, feat=self._mesh_feat)
                     ii = shard_indices(ii, self.mesh)
-                self._state = somf_step_jit(self._state, Xi, ii, cfg)
+                step_fn, _ = self._step_fns()
+                self._state = step_fn(self._state, Xi, ii, cfg)
         self._state.D.block_until_ready()
         self.time_ += _time.perf_counter() - t0
 
@@ -485,12 +528,18 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         perm = np.random.RandomState(seed).permutation(self._n_samples)
         perm_dev = jnp.asarray(perm)
         st = self._state
-        code = (apply_permutation(st.code, perm_dev)
-                if st.code is not None else None)
-        G_avg = (apply_permutation(st.G_avg, perm_dev)
-                 if st.G_avg is not None else None)
-        Dx_avg = (apply_permutation(st.Dx_avg, perm_dev)
-                  if st.Dx_avg is not None else None)
+
+        def permute(arr):
+            if arr is None:
+                return None
+            if getattr(arr.sharding, 'memory_kind', None) == 'pinned_host':
+                from ._step import apply_permutation_host
+                return apply_permutation_host(arr, perm_dev)
+            return apply_permutation(arr, perm_dev)
+
+        code = permute(st.code)
+        G_avg = permute(st.G_avg)
+        Dx_avg = permute(st.Dx_avg)
         sni = apply_permutation(st.sample_n_iter, perm_dev)
         self._state = st._replace(code=code, G_avg=G_avg, Dx_avg=Dx_avg,
                                   sample_n_iter=sni)
