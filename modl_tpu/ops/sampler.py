@@ -59,18 +59,27 @@ def draw_subset(box, cursor, key, len_subset, replacement):
     remainder = n - cursor
     needs_reshuffle = remainder < len_subset
 
-    # Candidate reshuffled box: unseen tail first (original order), the
+    # Reshuffled box: unseen tail first (original order), the
     # already-seen head randomly permuted behind it. A keyed argsort makes
     # this shape-static: negative ascending keys pin the tail, uniform
-    # keys shuffle the rest.
-    rolled = jnp.roll(box, -cursor)
-    idx = jnp.arange(n)
-    rand = jax.random.uniform(k_draw, (n,))
-    sort_key = jnp.where(idx < remainder, idx.astype(rand.dtype) - n, rand)
-    reshuffled = rolled[jnp.argsort(sort_key)]
+    # keys shuffle the rest. The O(n log n) sort runs only once per cycle
+    # (~every reduction steps): lax.cond executes a single branch on TPU,
+    # so the common no-reshuffle step costs one dynamic slice.
+    def reshuffle(operands):
+        box, cursor = operands
+        rolled = jnp.roll(box, -cursor)
+        idx = jnp.arange(n)
+        rand = jax.random.uniform(k_draw, (n,))
+        rem = (n - cursor).astype(idx.dtype)
+        sort_key = jnp.where(idx < rem, idx.astype(rand.dtype) - n, rand)
+        return rolled[jnp.argsort(sort_key)], jnp.int32(0)
 
-    box = jnp.where(needs_reshuffle, reshuffled, box)
-    start = jnp.where(needs_reshuffle, 0, cursor)
+    def keep(operands):
+        box, cursor = operands
+        return box, cursor
+
+    box, start = jax.lax.cond(needs_reshuffle, reshuffle, keep,
+                              (box, cursor))
     subset = jax.lax.dynamic_slice(box, (start,), (len_subset,))
     cursor = (start + len_subset).astype(jnp.int32)
     return subset, box, cursor, k_next
