@@ -369,6 +369,24 @@ class RecsysDictFact(BaseEstimator):
         if self.callback is not None:
             self.callback(self)
 
+    # pickling: device arrays -> host numpy (cross-backend restore) ----- #
+
+    _DEVICE_FIELDS = ('_D', '_C', '_B', '_code')
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        for f in self._DEVICE_FIELDS:
+            if f in state and state[f] is not None:
+                state[f] = ('__np__', np.asarray(state[f]))
+        return state
+
+    def __setstate__(self, state):
+        for f in self._DEVICE_FIELDS:
+            v = state.get(f)
+            if isinstance(v, tuple) and v and v[0] == '__np__':
+                state[f] = jnp.asarray(v[1])
+        self.__dict__ = state
+
     # sklearn-style views ------------------------------------------------ #
 
     @property

@@ -74,6 +74,43 @@ def test_state_resume_trajectory_identical(tmp_path):
     np.testing.assert_array_equal(df2.components_, D_uninterrupted)
 
 
+def test_all_estimators_pickle(tmp_path):
+    """Every public estimator pickles after fit and keeps predicting."""
+    import scipy.sparse as sp
+
+    from modl_tpu import ImageDictFact, RecsysDictFact, fMRIDictFact
+    from modl_tpu.datasets.adhd import make_synthetic_rest_data
+    from modl_tpu.datasets.image import make_synthetic_image
+
+    rng = np.random.RandomState(0)
+
+    img = make_synthetic_image(24, 24, patch_size=6, seed=0)
+    idf = ImageDictFact(method='masked', n_components=4, batch_size=20,
+                        reduction=2, n_epochs=1, patch_size=(5, 5),
+                        max_patches=80, random_state=0).fit(img)
+    idf2 = pickle.loads(pickle.dumps(idf))
+    np.testing.assert_array_equal(idf2.components_, idf.components_)
+
+    Xr = sp.csr_matrix(np.abs(rng.rand(30, 12)))
+    mf = RecsysDictFact(n_components=3, n_epochs=1, alpha=0.5,
+                        random_state=0).fit(Xr)
+    mf2 = pickle.loads(pickle.dumps(mf))
+    np.testing.assert_array_equal(mf2.components_, mf.components_)
+    np.testing.assert_allclose(mf2.score(Xr), mf.score(Xr), rtol=1e-10)
+
+    data, mask, _ = make_synthetic_rest_data(n_subjects=2, n_frames=15,
+                                             shape=(5, 5, 3),
+                                             n_networks=3)
+    fdf = fMRIDictFact(method='masked', n_components=3, reduction=2,
+                       batch_size=5, n_epochs=1, alpha=1e-2, mask=mask,
+                       standardize=False, detrend=False,
+                       random_state=0).fit(data)
+    fdf2 = pickle.loads(pickle.dumps(fdf))
+    np.testing.assert_array_equal(fdf2.components_, fdf.components_)
+    codes = fdf2.transform(data[:1])
+    assert codes[0].shape == (15, 3)
+
+
 def test_checkpoint_callback(tmp_path):
     from modl_tpu.utils.checkpoint import CheckpointCallback
 
