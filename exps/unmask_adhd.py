@@ -23,7 +23,7 @@ def main(n_jobs=1):
         dataset = fetch_adhd(n_subjects=40)
         from nilearn.input_data import MultiNiftiMasker
         masker = MultiNiftiMasker().fit(dataset['func'])
-        imgs = [masker.transform(f) for f in dataset['func']]
+        imgs = masker.transform(dataset['func'])  # list of 2-D records
         mask = np.asanyarray(masker.mask_img_.dataobj) != 0
     except Exception as e:
         print('synthetic fallback (%s)' % e)

@@ -121,9 +121,16 @@ def _solve_code(state, X, sample_indices, w_sample, subset, cfg):
         if cfg.Dx_agg == 'average':
             # Dx_avg (n, k) stays device-resident even in offload mode -
             # it is small (the reference likewise memmaps only
-            # G_average_, dict_fact.py:431-441)
+            # G_average_, dict_fact.py:431-441).
             old = Dx_avg[sample_indices]
-            Dx = old * (1.0 - w_sample[:, None]) + Dx * w_sample[:, None]
+            # unvisited rows (exact zeros, e.g. freshly allocated by a
+            # mid-run aggregator switch) take the new estimate with
+            # weight 1 - identical to the reference on normal paths
+            # (first visit has count 1 -> w_sample == 1) and unbiased
+            # after a switch
+            unvisited = jnp.sum(jnp.abs(old), axis=-1) == 0
+            w_eff = jnp.where(unvisited, 1.0, w_sample)
+            Dx = old * (1.0 - w_eff[:, None]) + Dx * w_eff[:, None]
             Dx_avg = Dx_avg.at[sample_indices].set(Dx)
 
     if cfg.G_agg == 'full':
@@ -135,8 +142,10 @@ def _solve_code(state, X, sample_indices, w_sample, subset, cfg):
                 old = _host_gather(G_avg, sample_indices)  # (b, k, k)
             else:
                 old = G_avg[sample_indices]
-            G = (old * (1.0 - w_sample[:, None, None])
-                 + G[None] * w_sample[:, None, None])
+            unvisited = jnp.sum(jnp.abs(old), axis=(-2, -1)) == 0
+            w_eff = jnp.where(unvisited, 1.0, w_sample)
+            G = (old * (1.0 - w_eff[:, None, None])
+                 + G[None] * w_eff[:, None, None])
             if cfg.average_offload:
                 G_avg = _host_scatter_set(G_avg, sample_indices, G)
             else:
@@ -348,18 +357,10 @@ def state_out_shardings(state, cfg):
 
 
 def make_offload_step(state, cfg):
+    # NOTE: no scan variant - XLA layout assignment rejects host-placed
+    # while-loop carries on this toolchain, so offload mode always steps
+    # per batch (dict_fact.py forces the per-batch path).
     return jax.jit(somf_step, static_argnames=("cfg",),
-                   out_shardings=state_out_shardings(state, cfg))
-
-
-def make_offload_scan(state, cfg):
-    def scan_fn(state, X_batches, idx_batches, cfg):
-        def body(carry, inp):
-            Xb, idxb = inp
-            return somf_step(carry, Xb, idxb, cfg), None
-        state, _ = lax.scan(body, state, (X_batches, idx_batches))
-        return state
-    return jax.jit(scan_fn, static_argnames=("cfg",),
                    out_shardings=state_out_shardings(state, cfg))
 
 

@@ -67,6 +67,7 @@ class _PickleStateMixin:
         if st is not None:
             state['_state'] = ('__somf_state__', _state_to_host(st))
         state['mesh'] = None  # device meshes don't survive pickling
+        state['_offload_fns'] = None  # jitted callables don't pickle
         return state
 
     def __setstate__(self, state):
@@ -74,6 +75,20 @@ class _PickleStateMixin:
         if isinstance(st, tuple) and st and st[0] == '__somf_state__':
             state['_state'] = _state_from_host(st[1])
         self.__dict__ = state
+        # re-establish host placement for offloaded state (or drop the
+        # flag when the restoring backend can't execute host placement)
+        cfg = getattr(self, '_cfg', None)
+        st = getattr(self, '_state', None)
+        if cfg is not None and cfg.average_offload and st is not None:
+            from ._step import _mem_sharding, offload_supported
+            if offload_supported() and st.G_avg is not None:
+                self._state = st._replace(G_avg=jax.device_put(
+                    st.G_avg, _mem_sharding('pinned_host')))
+            else:
+                import dataclasses
+                self._cfg = dataclasses.replace(cfg,
+                                                average_offload=False)
+                self.average_offload = False
 
 
 class CodingMixin(TransformerMixin):
@@ -332,7 +347,6 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         self._offload_fns = None
 
         def _avg_alloc(shape):
-            z = jnp.zeros(shape, dtype)
             if cfg.average_offload:
                 from ._step import offload_supported
                 if not offload_supported():
@@ -340,15 +354,18 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
                         'average_offload requires a backend with host '
                         'memory-placement support (TPU); this backend '
                         'cannot execute it')
-                # host-RAM residency (the reference's np.memmap spill for
-                # G_average_, dict_fact.py:431-439): the step gathers and
-                # scatters per-batch slices via host compute
                 if self.mesh is not None:
                     raise ValueError('average_offload is not supported '
                                      'together with a device mesh')
-                z = jax.device_put(z, jax.sharding.SingleDeviceSharding(
-                    jax.devices()[0], memory_kind='pinned_host'))
-            return z
+                # host-RAM residency (the reference's np.memmap spill for
+                # G_average_, dict_fact.py:431-439): allocate host-side -
+                # a transient device jnp.zeros would OOM at exactly the
+                # scales offload exists for
+                return jax.device_put(
+                    np.zeros(shape, dtype),
+                    jax.sharding.SingleDeviceSharding(
+                        jax.devices()[0], memory_kind='pinned_host'))
+            return jnp.zeros(shape, dtype)
 
         Dx_avg = (jnp.zeros((n_samples, k), dtype)
                   if cfg.Dx_agg == 'average' else None)
@@ -457,9 +474,11 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         if not self._cfg.average_offload:
             return somf_step_jit, somf_scan
         if getattr(self, '_offload_fns', None) is None:
-            from ._step import make_offload_scan, make_offload_step
-            self._offload_fns = (make_offload_step(self._state, self._cfg),
-                                 make_offload_scan(self._state, self._cfg))
+            from ._step import make_offload_step
+            step = make_offload_step(self._state, self._cfg)
+            # offload always steps per batch (host-placed scan carries
+            # fail XLA layout assignment); no scan variant exists
+            self._offload_fns = (step, None)
         return self._offload_fns
 
     def _partial_fit_device(self, X_dev, sample_indices):
@@ -491,6 +510,11 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
                         and self.n_iter_ >= self.verbose_iter_[0]):
                     print('Iteration %i' % self.n_iter_)
                     self.verbose_iter_ = self.verbose_iter_[1:]
+                    self._callback()
+                elif not self.verbose and self.callback is not None:
+                    # with verbose=0 the reference never fires callbacks;
+                    # here they fire every batch so checkpointing/scoring
+                    # hooks work without a print schedule
                     self._callback()
                 Xi, ii = X_dev[batch], idx[batch]
                 if self.mesh is not None:
@@ -565,31 +589,30 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
             st = self._state
             k = self.n_components
 
-            def _alloc(shape):
-                z = jnp.zeros(shape, self._dtype)
+            def _alloc(shape, host):
+                # freshly allocated entries are exact zeros; the step's
+                # unvisited->weight-1 rule makes their first post-switch
+                # update unbiased (no counter games needed)
+                z = np.zeros(shape, self._dtype)
+                if host:
+                    from ._step import _mem_sharding
+                    return jax.device_put(z, _mem_sharding('pinned_host'))
+                z = jnp.asarray(z)
                 if self.mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec
                     z = jax.device_put(
                         z, NamedSharding(self.mesh, PartitionSpec()))
                 return z
 
-            fresh_avg = False
+            offload = bool(getattr(self._cfg, 'average_offload', False))
             if self.Dx_agg == 'average' and st.Dx_avg is None:
-                st = st._replace(Dx_avg=_alloc((self._n_samples, k)))
-                fresh_avg = True
+                st = st._replace(Dx_avg=_alloc((self._n_samples, k),
+                                               host=False))
             if self.G_agg == 'average' and st.G_avg is None:
-                st = st._replace(G_avg=_alloc((self._n_samples, k, k)))
-                fresh_avg = True
-            if fresh_avg:
-                # sample_n_iter only drives the 'average' EMA weight
-                # t^-sample_learning_rate; stale pre-switch counts would
-                # give the zero-initialised averages a first-visit weight
-                # of e.g. 5^-0.76 = 0.29 and bias Dx/G low for all
-                # remaining epochs. Resetting makes the first post-switch
-                # visit weight 1 - exactly fresh-'average' semantics.
-                st = st._replace(sample_n_iter=jnp.zeros_like(
-                    st.sample_n_iter))
+                st = st._replace(G_avg=_alloc((self._n_samples, k, k),
+                                              host=offload))
             self._state = st
+        self._offload_fns = None  # shapes/placements may have changed
         if hasattr(self, '_n_features'):
             self._cfg = self._make_config(self._n_features)
         return self

@@ -84,13 +84,20 @@ class CheckpointCallback:
         self.n_calls = 0
         self.n_saved = 0
 
-    def __call__(self, estimator):
+    def __call__(self, *args):
+        # callback conventions differ per estimator: DictFact passes
+        # itself; ImageDictFact passes itself (holding dict_fact_);
+        # fMRIDictFact passes (masker, dict_fact, cpu_time, io_time)
         self.n_calls += 1
         if self.n_calls % self.every:
             return
-        state = getattr(estimator, '_state', None)
-        if state is None and hasattr(estimator, 'dict_fact_'):
-            state = getattr(estimator.dict_fact_, '_state', None)
+        state = None
+        for obj in args:
+            state = getattr(obj, '_state', None)
+            if state is None and hasattr(obj, 'dict_fact_'):
+                state = getattr(obj.dict_fact_, '_state', None)
+            if state is not None:
+                break
         if state is not None:
             save_state(state, self.path)
             self.n_saved += 1
