@@ -325,6 +325,8 @@ class RecsysDictFact(BaseEstimator):
                     print('Iteration %i' % int(n_iter))
                     self.verbose_iter_ = self.verbose_iter_[1:]
                     self._callback()
+                elif not self.verbose and self.callback is not None:
+                    self._callback()  # hooks work without a print schedule
                 idx, val, lens, P = _pad_rows(X, rows, n_features, dtype)
                 idx_d = jnp.asarray(idx)
                 val_d = jnp.asarray(val)
