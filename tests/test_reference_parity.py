@@ -141,15 +141,20 @@ class NumpySomf:
                 self.G = self.D @ self.D.T
 
 
-@pytest.mark.parametrize("agg", ['masked', 'full', 'average'])
+@pytest.mark.parametrize("agg", ['masked', 'full', 'average',
+                                 'gram', 'mixed'])
 @pytest.mark.parametrize("comp_l1", [0.0, 1.0])
 def test_step_matches_numpy_reference(agg, comp_l1):
+    # 'gram' = the reference's Dx-masked + G-full combo; 'mixed' =
+    # Dx-average + G-masked (exercises the EMA with a masked Gram)
+    combos = {'gram': ('masked', 'full'), 'mixed': ('average', 'masked')}
+    dx_agg, g_agg = combos.get(agg, (agg, agg))
     rng = np.random.RandomState(0)
     n_samples, n, k, b = 60, 24, 5, 12
     X = rng.randn(n_samples, n)
     df = DictFact(n_components=k, reduction=2, code_alpha=1e-3,
                   code_l1_ratio=0, comp_l1_ratio=comp_l1,
-                  Dx_agg=agg, G_agg=agg, batch_size=b, random_state=0)
+                  Dx_agg=dx_agg, G_agg=g_agg, batch_size=b, random_state=0)
     df.prepare(n_samples=n_samples, X=X)
     cfg = df._cfg
     state = df._state
@@ -172,10 +177,11 @@ def test_step_matches_numpy_reference(agg, comp_l1):
     np.testing.assert_allclose(np.asarray(state.code), ref.code, atol=1e-9)
     np.testing.assert_allclose(np.asarray(state.comp_norm), ref.comp_norm,
                                atol=1e-9)
-    if agg == 'full':
+    if g_agg == 'full':
         np.testing.assert_allclose(np.asarray(state.G), ref.G, atol=1e-9)
-    if agg == 'average':
+    if g_agg == 'average':
         np.testing.assert_allclose(np.asarray(state.G_avg), ref.G_avg,
                                    atol=1e-9)
+    if dx_agg == 'average':
         np.testing.assert_allclose(np.asarray(state.Dx_avg), ref.Dx_avg,
                                    atol=1e-9)
