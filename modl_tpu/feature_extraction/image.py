@@ -1,8 +1,14 @@
-"""Lazy patch extraction (reference: modl/feature_extraction/image.py).
+"""Lazy clean-patch extraction over strided views.
 
-``extract_patches`` from old scikit-learn is replaced by
-``numpy.lib.stride_tricks.sliding_window_view`` (zero-copy strided view);
-patches materialise on demand in ``partial_transform``.
+Plays the role of the reference's ``LazyCleanPatchExtractor``
+(modl/feature_extraction/image.py:8-83) with a different internal design:
+instead of carrying an (n, 3) table of patch coordinates, the extractor
+keeps a single flat 1-D ordering ``order_`` of linear patch ids over the
+patch grid. Coordinates are recovered on demand with ``unravel_index``
+when a batch is materialised, which keeps the resident sample state to
+one int array regardless of image dimensionality and makes shuffles a
+single 1-D gather (the co-permutation contract ``DictFact.shuffle``
+relies on).
 """
 import numpy as np
 from numpy.lib.stride_tricks import sliding_window_view
@@ -11,22 +17,25 @@ from sklearn.utils import check_random_state
 
 from ..input_data.image import clean_mask, fill
 
-__all__ = ["LazyCleanPatchExtractor"]
+__all__ = ["LazyCleanPatchExtractor", "extract_patches"]
 
 
 def extract_patches(image, patch_shape):
-    """6-D zero-copy view (n_i, n_j, n_k, p_h, p_w, n_chan) of all patches."""
-    view = sliding_window_view(image, patch_shape)
-    return view
+    """All overlapping patches of ``image`` as a zero-copy strided view.
+
+    Returns a 6-D view of shape (n_i, n_j, n_k, *patch_shape) — no data
+    is materialised until the view is indexed.
+    """
+    return sliding_window_view(image, patch_shape)
 
 
 class LazyCleanPatchExtractor(BaseEstimator):
-    """Patch extractor that skips patches touching missing (-1) pixels.
+    """On-demand extractor of patches free of missing (-1) pixels.
 
-    API mirrors the reference class (feature_extraction/image.py:8-83):
-    fit / transform / partial_transform / shuffle, ``n_patches_`` and
-    ``patch_shape_`` properties. Patches are materialised on demand from
-    a strided view (useful for large hyperspectral images).
+    fit / transform / partial_transform / shuffle mirror the reference
+    API; ``n_patches_`` and ``patch_shape_`` are derived properties.
+    Patches materialise lazily from the strided view, so TB-scale
+    hyperspectral images cost O(batch) memory per training buffer.
     """
 
     def __init__(self, patch_size=None, random_state=None, max_patches=None):
@@ -36,49 +45,57 @@ class LazyCleanPatchExtractor(BaseEstimator):
 
     def fit(self, X, y=None):
         self.random_state = check_random_state(self.random_state)
-        i_h, i_w, n_channels = X.shape
-        if self.patch_size is None:
-            patch_size = i_h // 10, i_w // 10
-        else:
-            patch_size = self.patch_size
-        patch_shape = (patch_size[0], patch_size[1], n_channels)
-        self.patches_ = extract_patches(X, patch_shape)
-
-        clean = np.all(X != -1)
-        if not clean:
-            self.indices_3d = clean_mask(self.patches_, X)
-        else:
-            self.indices_3d = fill(*self.patches_.shape[:3])
-        n_samples = self.indices_3d.shape[0]
-        selection = self.random_state.permutation(n_samples)[:self.max_patches]
-        self.indices_3d = self.indices_3d[selection]
+        shape = self._resolve_patch_shape(X)
+        self._view = extract_patches(X, shape)
+        self._grid = self._view.shape[:3]
+        self.order_ = self._clean_ids(X)
+        self.random_state.shuffle(self.order_)
+        if self.max_patches is not None:
+            self.order_ = self.order_[:self.max_patches]
         return self
+
+    def _resolve_patch_shape(self, X):
+        n_channels = X.shape[-1]
+        if self.patch_size is None:
+            return (X.shape[0] // 10, X.shape[1] // 10, n_channels)
+        return tuple(self.patch_size) + (n_channels,)
+
+    def _clean_ids(self, X):
+        """Linear ids (over the patch grid) of patches with no -1 pixel."""
+        if np.all(X != -1):
+            coords = fill(*self._grid)
+        else:
+            coords = clean_mask(self._view, X)
+        return np.ravel_multi_index(tuple(coords.T), self._grid)
+
+    def _gather(self, ids):
+        """Materialise the patches whose linear grid ids are ``ids``."""
+        return self._view[np.unravel_index(ids, self._grid)]
 
     def partial_transform(self, X=None, batch=None):
         if X is not None:
             self.fit(X)
         if batch is None:
-            return self.transform()
-        if isinstance(batch, int):
+            batch = slice(None)
+        elif isinstance(batch, (int, np.integer)):
             batch = slice(0, batch)
-        these_indices = tuple(self.indices_3d[batch].T)
-        return self.patches_[these_indices]
+        return self._gather(self.order_[batch])
 
     def transform(self, X=None):
-        if X is not None:
-            self.fit(X)
-        return self.patches_[tuple(self.indices_3d.T)]
+        return self.partial_transform(X=X)
 
     def shuffle(self, permutation=None):
+        """Reorder the patch stream; with an argument, follow a learner's
+        co-permutation (the `shuffle_with_trace` contract)."""
         if permutation is None:
-            n_samples = self.indices_3d.shape[0]
-            permutation = self.random_state.permutation(n_samples)
-        self.indices_3d = self.indices_3d[permutation]
+            self.random_state.shuffle(self.order_)
+        else:
+            self.order_ = self.order_[permutation]
 
     @property
     def n_patches_(self):
-        return self.indices_3d.shape[0]
+        return self.order_.shape[0]
 
     @property
     def patch_shape_(self):
-        return self.patches_.shape[-3:]
+        return self._view.shape[3:]

@@ -1,27 +1,26 @@
-"""Support utilities (reference: modl/utils/__init__.py)."""
+"""Support utilities (role of modl/utils/__init__.py)."""
 import numpy as np
 
 
 def get_sub_slice(indices, sub_indices):
-    """Safe nested-slice indexer (modl/utils/__init__.py:4-27)."""
+    """Resolve ``sub_indices`` relative to an outer ``indices`` selection.
+
+    Both levels may be a slice or an integer array; ``indices=None``
+    means the identity selection. Slices compose by offset arithmetic
+    without materialising the outer range.
+    """
     if indices is None:
-        if isinstance(sub_indices, slice):
-            return np.arange(sub_indices.start, sub_indices.stop)
-        return sub_indices
-    if isinstance(indices, slice):
-        return np.arange(indices.start + sub_indices.start,
-                         indices.start + sub_indices.stop)
-    return indices[sub_indices]
+        indices = slice(0, None)
+    if not isinstance(indices, slice):
+        return np.asarray(indices)[sub_indices]
+    base = indices.start or 0
+    if isinstance(sub_indices, slice):
+        return np.arange(base + sub_indices.start, base + sub_indices.stop)
+    return base + np.asarray(sub_indices)
 
 
 def concatenated_cv(cvs):
-    """Zip several CV generators into concatenated folds
-    (modl/utils/__init__.py:30-38)."""
-    for this_train, this_test in cvs[0]:
-        train = [this_train]
-        test = [this_test]
-        for cv in cvs[1:]:
-            this_train, this_test = next(cv)
-            train.append(this_train)
-            test.append(this_test)
-        yield np.concatenate(train), np.concatenate(test)
+    """Merge parallel CV generators into folds of concatenated indices."""
+    for splits in zip(*cvs):
+        trains, tests = zip(*splits)
+        yield np.concatenate(trains), np.concatenate(tests)

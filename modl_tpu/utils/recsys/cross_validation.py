@@ -1,7 +1,10 @@
-"""Train/test splitting over sparse-matrix entries.
+"""Entry-level train/test splitting for sparse rating matrices.
 
-Reference: modl/utils/recsys/cross_validation.py (from spira). Splits the
-*stored entries* of a COO matrix, preserving the shape.
+Covers the reference's recsys cross-validation helpers
+(modl/utils/recsys/cross_validation.py): the *stored entries* of a
+sparse matrix are partitioned while the matrix shape is preserved, so
+both folds address the same user/item index space. Implemented here as
+boolean-mask selection over the COO triplets.
 """
 import numpy as np
 import scipy.sparse as sp
@@ -9,44 +12,48 @@ import scipy.sparse as sp
 __all__ = ["ShuffleSplit", "train_test_split", "cross_val_score"]
 
 
-class ShuffleSplit(object):
+def _coo_triplets(X):
+    X = sp.coo_matrix(X)
+    return X.shape, X.row, X.col, X.data
+
+
+def _from_mask(shape, rows, cols, vals, mask):
+    return sp.coo_matrix((vals[mask], (rows[mask], cols[mask])), shape=shape)
+
+
+def _entry_split(X, train_size, rng):
+    """One random (train, test) partition of X's stored entries."""
+    shape, rows, cols, vals = _coo_triplets(X)
+    n_entries = vals.shape[0]
+    n_train = int(train_size * n_entries)
+    in_train = np.zeros(n_entries, dtype=bool)
+    in_train[rng.choice(n_entries, size=n_train, replace=False)] = True
+    return (_from_mask(shape, rows, cols, vals, in_train),
+            _from_mask(shape, rows, cols, vals, ~in_train))
+
+
+class ShuffleSplit:
+    """Yields ``n_iter`` independent random entry partitions of X."""
+
     def __init__(self, n_iter=5, train_size=0.75, random_state=None):
         self.n_iter = n_iter
         self.train_size = train_size
         self.random_state = random_state
 
     def split(self, X):
-        X = sp.coo_matrix(X)
-        rng = np.random.RandomState(self.random_state)
-        shape = X.shape
-        n_data = len(X.data)
-        n_train = int(self.train_size * n_data)
-
+        rng = np.random.default_rng(self.random_state)
         for _ in range(self.n_iter):
-            ind = rng.permutation(n_data)
-            train_ind = ind[:n_train]
-            test_ind = ind[n_train:]
-            X_tr = sp.coo_matrix((X.data[train_ind],
-                                  (X.row[train_ind], X.col[train_ind])),
-                                 shape=shape)
-            X_te = sp.coo_matrix((X.data[test_ind],
-                                  (X.row[test_ind], X.col[test_ind])),
-                                 shape=shape)
-            yield X_tr, X_te
+            yield _entry_split(X, self.train_size, rng)
 
     def __len__(self):
         return self.n_iter
 
 
 def train_test_split(X, train_size=0.75, random_state=None):
-    cv = ShuffleSplit(n_iter=1, train_size=train_size,
-                      random_state=random_state)
-    return next(cv.split(X))
+    rng = np.random.default_rng(random_state)
+    return _entry_split(X, train_size, rng)
 
 
 def cross_val_score(estimator, X, cv):
-    scores = []
-    for X_tr, X_te in cv.split(X):
-        estimator.fit(X_tr)
-        scores.append(estimator.score(X_te))
-    return np.array(scores)
+    return np.array([estimator.fit(X_tr).score(X_te)
+                     for X_tr, X_te in cv.split(X)])
