@@ -16,6 +16,17 @@ per batch from the host.
 Everything here is side-effect free: no thread hazards exist by
 construction (the reference's snapshot race, dict_fact.py:535-543, has no
 counterpart), so refits with the same seed are bitwise reproducible.
+
+Documented deviation — ``comp_pos`` clamping: the reference clamps the
+ENTIRE components_subset matrix at every atom iteration of the BCD
+(dict_fact.py:684-685), re-clamping rows whose projection already ran
+and rows not yet updated. Here only the atom being updated is clamped
+before its enet projection: each row is clamped exactly once, right
+before the projection that decides its final value, which is the
+mathematically intended nonnegativity constraint. NMF trajectories can
+therefore differ from the reference in low-order digits. The parity
+oracle (tests/test_reference_parity.py) encodes the row-only semantics
+and pins it, including a comp_pos=True case.
 """
 from dataclasses import dataclass
 from functools import partial

@@ -144,7 +144,10 @@ class CodingMixin(TransformerMixin):
                                 float(self.tol), int(self.max_iter),
                                 solver=self._code_solver())
             return np.asarray(code)
-        out = np.empty((X.shape[0], self.n_components), X.dtype)
+        # allocate in the components dtype: the device solve runs in
+        # D.dtype, so X.dtype (int / float64) would silently truncate
+        # and diverge from the non-batched path
+        out = np.empty((X.shape[0], self.n_components), np.dtype(D.dtype))
         for batch in gen_batches(X.shape[0], batch_size):
             out[batch] = np.asarray(compute_code(
                 D, G, jnp.asarray(X[batch], D.dtype),

@@ -11,6 +11,15 @@ arrays / pre-unmasked ``.npy`` records (``NumpyMasker`` /
 The DictFact core runs every partial_fit as jitted TPU steps; the host
 side is a prefetching record loop (IO) feeding the device (compute),
 mirroring the reference's io_time/cpu_time accounting.
+
+Documented deviation — 'gram'/'average' methods: the reference rebinds
+``method = methods[method]`` to a dict before its string comparisons
+(fmri.py:460-536), so its epoch-5 Gram upgrade and the
+'average'/'gram' sample-index branches are dead code and never fire.
+This implementation executes the documented *intent*: the upgrade and
+the per-sample index bookkeeping are live, so 'gram'/'average'
+trajectories intentionally differ from (improve on) the reference's
+actual behavior.
 """
 import itertools
 import time

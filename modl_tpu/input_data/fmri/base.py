@@ -74,11 +74,15 @@ class NumpyMasker(BaseEstimator):
             self._check_fitted()
             out = data[self.mask_img_].T.astype(np.float64)
         if self.detrend:
+            # nilearn's detrend removes the mean AND the linear trend;
+            # match it so both masker backends agree with
+            # standardize=False.
+            out = out - out.mean(0)
             t = np.arange(out.shape[0], dtype=np.float64)
             t = (t - t.mean())
             denom = np.sum(t * t)
             if denom > 0:
-                slope = (t[:, None] * (out - out.mean(0))).sum(0) / denom
+                slope = (t[:, None] * out).sum(0) / denom
                 out = out - np.outer(t, slope)
         if self.standardize:
             out = out - out.mean(axis=0)

@@ -158,6 +158,8 @@ def test_multi_raw_masker_detrends_2d_records():
     tc = t - t.mean()
     slope = (tc[:, None] * (out - out.mean(0))).sum(0) / np.sum(tc * tc)
     np.testing.assert_allclose(slope, 0, atol=1e-10)
+    # nilearn detrend semantics: the mean is removed along with the trend
+    np.testing.assert_allclose(out.mean(0), 0, atol=1e-8)
 
 
 def test_numpy_masker_standardize_detrend():
