@@ -12,7 +12,8 @@ import scipy.sparse as sp
 
 from . import get_data_dirs
 
-__all__ = ["load_movielens", "load_netflix", "make_synthetic_ratings"]
+__all__ = ["load_movielens", "load_netflix", "load_recsys",
+           "make_synthetic_ratings"]
 
 
 def load_movielens(version):
@@ -45,12 +46,31 @@ def _load_grouplens_dir(path):
 
 
 def load_netflix():
-    data_dir = get_data_dirs()[0]
-    path = os.path.join(data_dir, 'netflix', 'X_csr.pkl')
-    if not os.path.exists(path):
-        raise IOError('Netflix data not found under %s' % path)
+    """Pre-split (X_tr, X_te) Netflix matrices (reference recsys.py:33-39)."""
+    data_dir = os.path.join(get_data_dirs()[0], 'nf_prize')
     from joblib import load
-    return load(path)
+    try:
+        return load(os.path.join(data_dir, 'X_tr.pkl')), \
+            load(os.path.join(data_dir, 'X_te.pkl'))
+    except FileNotFoundError as e:
+        raise IOError('Netflix data not found under %s' % data_dir) from e
+
+
+def load_recsys(dataset, random_state=None):
+    """(X_train, X_test) CSR pair for a named recsys dataset
+    (reference: modl/datasets/recsys.py:41-52).
+
+    MovieLens versions are entry-split 75/25; Netflix ships pre-split.
+    """
+    if dataset in ('100k', '1m', '10m'):
+        from ..utils.recsys.cross_validation import train_test_split
+        X = load_movielens(dataset)
+        X_tr, X_te = train_test_split(X, train_size=0.75,
+                                      random_state=random_state)
+        return X_tr.tocsr(), X_te.tocsr()
+    if dataset == 'netflix':
+        return load_netflix()
+    raise ValueError('Unknown recsys dataset %r' % (dataset,))
 
 
 def make_synthetic_ratings(n_users=1000, n_items=500, rank=10,

@@ -68,6 +68,11 @@ def _flip(components):
     return components
 
 
+def _mask_record(masker, img, confounds=None):
+    """Module-level so joblib can pickle it for Parallel / Memory."""
+    return masker.transform(img, confounds=confounds)
+
+
 def _check_dict_init(dict_init, masker, n_components=None):
     """(fmri.py:406-420) accept ndarray dictionaries or maskable images."""
     if dict_init is None:
@@ -130,26 +135,40 @@ class fMRICoderMixin(BaseNilearnEstimator, TransformerMixin):
             return [imgs]
         return list(imgs)
 
+    def _masked_records(self, imgs, confounds=None):
+        """Unmask every record, joblib-parallel over records and
+        optionally cached (the reference fans transform/score out with
+        Parallel(self._cache(...)), fmri.py:121-124,159-162). The
+        host-side masking (IO + detrend/standardize) parallelizes;
+        device coding stays serial — the chip serializes it anyway."""
+        confounds = (list(confounds) if confounds is not None
+                     else [None] * len(imgs))
+        mask_one = _mask_record
+        if self.memory is not None:
+            from joblib import Memory
+            memory = (self.memory if isinstance(self.memory, Memory)
+                      else Memory(location=self.memory, verbose=0))
+            mask_one = memory.cache(_mask_record)
+        if self.n_jobs not in (None, 1) and len(imgs) > 1:
+            from joblib import Parallel, delayed
+            return Parallel(n_jobs=self.n_jobs)(
+                delayed(mask_one)(self.masker_, img, conf)
+                for img, conf in zip(imgs, confounds))
+        return [mask_one(self.masker_, img, conf)
+                for img, conf in zip(imgs, confounds)]
+
     def transform(self, imgs, confounds=None):
         """Per-record code loadings (fmri.py:135-163)."""
         imgs = self._imgs_list(imgs)
-        if confounds is None:
-            confounds = itertools.repeat(None)
-        codes = []
-        for img, conf in zip(imgs, confounds):
-            data = self.masker_.transform(img, confounds=conf)
-            codes.append(self.coder_.transform(
-                data, batch_size=self.transform_batch_size))
-        return codes
+        return [self.coder_.transform(
+                    data, batch_size=self.transform_batch_size)
+                for data in self._masked_records(imgs, confounds)]
 
     def score(self, imgs, confounds=None):
         """Length-weighted mean objective over records (fmri.py:95-133)."""
         imgs = self._imgs_list(imgs)
-        if confounds is None:
-            confounds = itertools.repeat(None)
         scores, lens = [], []
-        for img, conf in zip(imgs, confounds):
-            data = self.masker_.transform(img, confounds=conf)
+        for data in self._masked_records(imgs, confounds):
             scores.append(self.coder_.score(data))
             lens.append(data.shape[0])
         scores = np.array(scores)

@@ -6,7 +6,9 @@ optional here: the native path is ``NumpyMasker`` — a boolean 3-D mask
 over 4-D arrays / ``.npy`` files (the TPU-friendly raw pipeline; NIfTI
 handling delegates to nilearn when importable).
 """
+import inspect
 import os
+import warnings
 
 import numpy as np
 
@@ -34,17 +36,43 @@ class NumpyMasker(BaseEstimator):
     ----------
     mask_img : 3-D boolean ndarray (or path to a ``.npy`` holding one).
     standardize : bool, center/scale each voxel time-series.
-    detrend : bool, remove linear trend per voxel (host-side numpy).
-    smoothing_fwhm : accepted for parity; ignored (no spatial smoothing
-        without nilearn).
+    detrend : bool, remove mean + linear trend per voxel (host numpy).
+    low_pass, high_pass : float Hz cutoffs; Butterworth (order 5,
+        zero-phase) temporal filtering. Requires ``t_r``.
+    t_r : repetition time in seconds (needed for filtering).
+    smoothing_fwhm, target_affine, target_shape : accepted for API
+        parity with the nilearn masker; ignored (no spatial resampling /
+        smoothing without nilearn).
+    mask_strategy, mask_args : mask-estimation knobs; the native
+        strategy is always the nonzero-variance background mask.
+    memory, memory_level, n_jobs, verbose : technical params, carried
+        so ``check_embedded_masker`` can forward them uniformly.
+
+    Preprocessing order in ``transform``: mask -> detrend ->
+    Butterworth filter -> standardize -> confound regression.
     """
 
     def __init__(self, mask_img=None, standardize=False, detrend=False,
-                 smoothing_fwhm=None):
+                 low_pass=None, high_pass=None, t_r=None,
+                 smoothing_fwhm=None, target_affine=None,
+                 target_shape=None, mask_strategy='background',
+                 mask_args=None, memory=None, memory_level=1, n_jobs=1,
+                 verbose=0):
         self.mask_img = mask_img
         self.standardize = standardize
         self.detrend = detrend
+        self.low_pass = low_pass
+        self.high_pass = high_pass
+        self.t_r = t_r
         self.smoothing_fwhm = smoothing_fwhm
+        self.target_affine = target_affine
+        self.target_shape = target_shape
+        self.mask_strategy = mask_strategy
+        self.mask_args = mask_args
+        self.memory = memory
+        self.memory_level = memory_level
+        self.n_jobs = n_jobs
+        self.verbose = verbose
 
     def fit(self, imgs=None, y=None):
         mask = self.mask_img
@@ -84,6 +112,9 @@ class NumpyMasker(BaseEstimator):
             if denom > 0:
                 slope = (t[:, None] * out).sum(0) / denom
                 out = out - np.outer(t, slope)
+        if self.low_pass is not None or self.high_pass is not None:
+            out = _butterworth(out, self.t_r, self.low_pass,
+                               self.high_pass)
         if self.standardize:
             out = out - out.mean(axis=0)
             std = out.std(axis=0)
@@ -104,6 +135,23 @@ class NumpyMasker(BaseEstimator):
         out = np.zeros(shape, components.dtype)
         out[self.mask_img_] = components.T
         return out
+
+
+def _butterworth(data, t_r, low_pass, high_pass, order=5):
+    """Zero-phase Butterworth temporal filter on (t, voxels) data
+    (the nilearn clean() filtering stage, natively via scipy.signal)."""
+    if t_r is None:
+        raise ValueError('low_pass/high_pass filtering requires t_r')
+    from scipy.signal import butter, sosfiltfilt
+    nyq = 0.5 / t_r
+    if low_pass is not None and high_pass is not None:
+        sos = butter(order, [high_pass / nyq, low_pass / nyq],
+                     btype='band', output='sos')
+    elif low_pass is not None:
+        sos = butter(order, low_pass / nyq, btype='low', output='sos')
+    else:
+        sos = butter(order, high_pass / nyq, btype='high', output='sos')
+    return sosfiltfilt(sos, data, axis=0)
 
 
 def _load_img(img):
@@ -150,29 +198,90 @@ class BaseNilearnEstimator(BaseEstimator):
         return self
 
 
+def _init_params(cls):
+    """Constructor parameter names of a masker class (sklearn style)."""
+    sig = inspect.signature(cls.__init__)
+    return [name for name in sig.parameters if name != 'self']
+
+
 def check_embedded_masker(estimator):
     """Build a masker from estimator params (reference base.py:69-140).
 
-    ndarray / .npy / NumpyMasker masks -> NumpyMasker; NIfTI masks are
-    delegated to nilearn when present.
+    Mirrors the reference's embedding contract:
+
+    - ``estimator.mask`` is a masker instance -> a NEW masker of the
+      same class is built from the *masker's* params, overriding the
+      estimator's; every conflicting value triggers a warning listing
+      both sides. A fitted mask (``mask_img_``) is carried over.
+    - otherwise the full masker parameter surface found on the
+      estimator (smoothing_fwhm, standardize, detrend, low/high_pass,
+      t_r, target_affine/shape, mask_strategy, mask_args, ...) is
+      forwarded, with ``mask`` as the mask image.
+    - technical params (n_jobs, memory, memory_level - 1, verbose) are
+      always forwarded from the estimator.
+
+    ndarray / ``.npy`` masks -> :class:`NumpyMasker`; NIfTI masks are
+    delegated to nilearn's ``MultiNiftiMasker`` when importable.
     """
     mask = getattr(estimator, 'mask', None)
-    if isinstance(mask, NumpyMasker):
-        if not hasattr(mask, 'mask_img_'):
-            mask.fit()
-        return mask
-    if HAS_NILEARN and mask is not None and not isinstance(
-            mask, (np.ndarray, str)):  # pragma: no cover
-        masker = MultiNiftiMasker(
-            mask_img=mask,
-            smoothing_fwhm=estimator.smoothing_fwhm,
-            standardize=estimator.standardize,
-            detrend=estimator.detrend)
-        return masker.fit()
-    masker = NumpyMasker(mask_img=mask,
-                         standardize=estimator.standardize,
-                         detrend=estimator.detrend,
-                         smoothing_fwhm=estimator.smoothing_fwhm)
-    if mask is not None:
+
+    is_masker = isinstance(mask, BaseEstimator) and hasattr(mask,
+                                                            'mask_img')
+    if is_masker:
+        masker_class = mask.__class__
+    elif (HAS_NILEARN and mask is not None
+          and not isinstance(mask, (np.ndarray, str))):  # pragma: no cover
+        masker_class = MultiNiftiMasker
+    elif (HAS_NILEARN and isinstance(mask, str)
+          and not mask.endswith('.npy')):  # pragma: no cover
+        masker_class = MultiNiftiMasker
+    else:
+        masker_class = NumpyMasker
+
+    masker_param_names = _init_params(masker_class)
+    estimator_params = {name: getattr(estimator, name)
+                        for name in masker_param_names
+                        if hasattr(estimator, name)}
+
+    if is_masker:
+        new_params = {name: getattr(mask, name)
+                      for name in masker_param_names
+                      if hasattr(mask, name)}
+    else:
+        new_params = dict(estimator_params)
+        new_params['mask_img'] = mask
+
+    # technical params always come from the estimator (and are excluded
+    # from conflict reporting — forwarding them is the documented
+    # contract, not an override)
+    technical = ('n_jobs', 'memory', 'memory_level', 'verbose')
+    for name, value in (('n_jobs', getattr(estimator, 'n_jobs', 1)),
+                        ('memory', getattr(estimator, 'memory', None)),
+                        ('memory_level',
+                         max(0, getattr(estimator, 'memory_level', 1) - 1)),
+                        ('verbose', getattr(estimator, 'verbose', 0))):
+        if name in masker_param_names:
+            new_params[name] = value
+
+    if is_masker:
+        conflicts = []
+        for name in sorted(estimator_params):
+            if name not in new_params or name in technical:
+                continue
+            if np.any(new_params[name] != estimator_params[name]):
+                conflicts.append(
+                    'Parameter %s :\n    Masker parameter %s'
+                    ' - overriding estimator parameter %s'
+                    % (name, new_params[name], estimator_params[name]))
+        if conflicts:
+            warnings.warn('Overriding provided-default estimator'
+                          ' parameters with provided masker parameters'
+                          ' :\n%s' % '\n'.join(conflicts))
+
+    masker = masker_class(**new_params)
+    if hasattr(mask, 'mask_img_'):
+        # provided masker is fitted: adopt its mask, allow a free refit
+        masker.mask_img = mask.mask_img_
+    if masker.mask_img is not None and not hasattr(masker, 'mask_img_'):
         masker.fit()
     return masker

@@ -9,7 +9,12 @@ cheap to hash), so only two pieces remain:
 
 - ``filename_mtime_token``: the (path, mtime, size) identity token used
   to key caches on file identity without content reads;
-- ``monkey_patch_nifti_image``: when nibabel is importable, replaces
+- ``get_picklable_nifti_classes``: a ``Nifti1Image`` subclass whose
+  pickle state carries dataobj/header/affine/filename (the reference's
+  picklable image, fixes.py:41-58) plus a ``load`` that upgrades loaded
+  images to it;
+- ``monkey_patch_nifti_image``: when nibabel is importable, installs
+  the picklable class into ``nibabel.load`` results and replaces
   ``joblib.hashing.hash`` (and the ``joblib.memory`` from-import binding)
   with a variant whose Hasher substitutes file-backed ``Nifti1Image``
   objects by their (filename, mtime, size) token — the reference's
@@ -17,7 +22,52 @@ cheap to hash), so only two pieces remain:
 """
 import os
 
-__all__ = ["filename_mtime_token", "monkey_patch_nifti_image"]
+__all__ = ["filename_mtime_token", "get_picklable_nifti_classes",
+           "monkey_patch_nifti_image"]
+
+
+def get_picklable_nifti_classes():  # pragma: no cover - needs nibabel
+    """(Nifti1Image subclass, load function) that survive pickling.
+
+    nibabel's ``Nifti1Image`` drops its filename (and may hold an open
+    mmap) across pickle; the subclass serialises
+    dataobj/header/affine/extra/filename explicitly so cached /
+    multiprocessing pipelines can round-trip images (reference
+    fixes.py:30-58). Returns None without nibabel.
+    """
+    try:
+        import nibabel
+    except ImportError:
+        return None
+
+    import numpy as np
+
+    class Nifti1Image(nibabel.Nifti1Image):
+        def __getstate__(self):
+            return {'dataobj': np.asanyarray(self._dataobj),
+                    'header': self.header,
+                    'affine': self.affine,
+                    'extra': self.extra,
+                    'filename': self.get_filename()}
+
+        def __setstate__(self, state):
+            fresh = Nifti1Image(dataobj=state['dataobj'],
+                                affine=state['affine'],
+                                header=state['header'],
+                                extra=state['extra'])
+            self.__dict__ = fresh.__dict__
+            if state['filename'] is not None:
+                self.set_filename(state['filename'])
+
+    nibabel_load = nibabel.load
+
+    def load(filename, **kwargs):
+        img = nibabel_load(filename, **kwargs)
+        if type(img) is nibabel.Nifti1Image:
+            img.__class__ = Nifti1Image
+        return img
+
+    return Nifti1Image, load
 
 
 def filename_mtime_token(path):
@@ -65,4 +115,8 @@ def monkey_patch_nifti_image():
             joblib_memory.hash = nifti_hash
     except Exception:  # pragma: no cover
         pass
+    # route loads through the picklable Nifti1Image subclass
+    classes = get_picklable_nifti_classes()
+    if classes is not None:  # pragma: no cover - needs nibabel
+        nibabel.load = classes[1]
     return True

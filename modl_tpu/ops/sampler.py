@@ -5,8 +5,18 @@ box shuffles) with two TPU-native pieces:
 
 1. ``draw_subset`` - a *traced* fixed-size sampler usable inside a jitted
    step. State is ``(box, cursor, key)`` carried in the learner pytree:
-   - ``replacement=True``: reshuffle the box every call, take a prefix
-     (sampler.pyx:49-52).
+   - ``replacement=True``: i.i.d. random cyclic *windows* of a lazily
+     reshuffled permutation. The reference reshuffles the whole box per
+     call (sampler.pyx:49-52) — on TPU that is an O(n log^2 n) bitonic
+     sort of the full feature range every step, dominating the step at
+     n ~ 2e5. Here each draw gathers ``len_subset`` elements at a
+     uniformly random offset (O(s)), and the box is re-permuted once per
+     ``n // len_subset`` draws so windows decorrelate across cycles.
+     Per-feature visitation stays uniform (each feature lies in exactly
+     ``len_subset`` of the n windows) and subsets never contain
+     duplicates; the documented deviation is a small within-cycle
+     co-occurrence correlation between features adjacent in the current
+     permutation, which the per-cycle reshuffle bounds.
    - ``replacement=False``: cycle through the shuffled box so consecutive
      subsets partition the feature set; when fewer than ``len_subset``
      unseen features remain, the unseen tail is kept first (in order) and
@@ -52,9 +62,22 @@ def draw_subset(box, cursor, key, len_subset, replacement):
     k_draw, k_next = jax.random.split(key)
 
     if replacement:
-        box = jax.random.permutation(k_draw, box)
-        subset = box[:len_subset]
-        return subset, box, jnp.int32(len_subset), k_next
+        # cursor counts draws since the last reshuffle of the box
+        k_perm, k_off = jax.random.split(k_draw)
+        draws_per_cycle = max(n // len_subset, 1)
+        box = jax.lax.cond(
+            cursor >= draws_per_cycle,
+            lambda b: jax.random.permutation(k_perm, b),
+            lambda b: b,
+            box)
+        cursor = jnp.where(cursor >= draws_per_cycle, 0, cursor)
+        offset = jax.random.randint(k_off, (), 0, n)
+        # wraparound window as one contiguous slice of the doubled box
+        # (keeps per-feature inclusion exactly uniform; cheaper than a
+        # modulo gather)
+        wrapped = jnp.concatenate([box, box[:len_subset]])
+        subset = jax.lax.dynamic_slice(wrapped, (offset,), (len_subset,))
+        return subset, box, (cursor + 1).astype(jnp.int32), k_next
 
     remainder = n - cursor
     needs_reshuffle = remainder < len_subset

@@ -52,3 +52,48 @@ def test_make_synthetic_rest_data():
     assert data[0].shape == (6, 6, 4, 20)
     assert mask.shape == (6, 6, 4)
     assert maps.shape == (4, 144)
+
+
+def test_load_recsys_movielens(tmp_path, monkeypatch):
+    """load_recsys entry-splits a MovieLens matrix 75/25
+    (reference datasets/recsys.py:41-52)."""
+    import scipy.sparse as sp
+
+    from modl_tpu.datasets.recsys import load_recsys, make_synthetic_ratings
+
+    X = make_synthetic_ratings(n_users=60, n_items=40, density=0.2)
+    ml_dir = tmp_path / 'movielens100k'
+    ml_dir.mkdir()
+    from joblib import dump
+    dump(sp.coo_matrix(X), ml_dir / 'X_csr.pkl')
+    monkeypatch.setenv('MODL_DATA', str(tmp_path))
+    monkeypatch.delenv('MODL_SHARED_DATA', raising=False)
+
+    X_tr, X_te = load_recsys('100k', random_state=0)
+    assert sp.issparse(X_tr) and X_tr.format == 'csr'
+    assert X_tr.shape == X_te.shape == X.shape
+    assert X_tr.nnz + X_te.nnz == X.nnz
+    assert abs(X_tr.nnz - 0.75 * X.nnz) <= 1
+
+
+def test_load_recsys_unknown():
+    import pytest as _pytest
+
+    from modl_tpu.datasets.recsys import load_recsys
+    with _pytest.raises(ValueError):
+        load_recsys('nope')
+
+
+def test_fetch_adhd_requires_nilearn():
+    import pytest as _pytest
+
+    from modl_tpu.datasets.adhd import fetch_adhd
+    _pytest.importorskip_absent = None
+    try:
+        import nilearn  # noqa: F401
+        has_nilearn = True
+    except ImportError:
+        has_nilearn = False
+    if not has_nilearn:
+        with _pytest.raises(ImportError):
+            fetch_adhd(n_subjects=1)

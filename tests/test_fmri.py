@@ -170,3 +170,87 @@ def test_numpy_masker_standardize_detrend():
     out = masker.transform(data)
     np.testing.assert_allclose(out.mean(axis=0), 0, atol=1e-10)
     np.testing.assert_allclose(out.std(axis=0), 1, atol=1e-8)
+
+
+def test_embedded_masker_conflict_warning():
+    """A provided masker's params override the estimator's, with a
+    warning listing each conflict (reference base.py:110-133)."""
+    import warnings
+
+    from modl_tpu.input_data.fmri.base import check_embedded_masker
+
+    mask = np.ones((4, 4, 1), bool)
+    provided = NumpyMasker(mask_img=mask, standardize=False, detrend=True,
+                           t_r=2.0).fit()
+    est = fMRIDictFact(mask=provided, standardize=True, detrend=False,
+                       n_components=2)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        masker = check_embedded_masker(est)
+    messages = [str(w.message) for w in caught]
+    assert any('standardize' in m and 'Overriding' in m for m in messages)
+    assert any('detrend' in m for m in messages)
+    # masker params won: standardize False, detrend True, t_r carried
+    assert masker.standardize is False
+    assert masker.detrend is True
+    assert masker.t_r == 2.0
+    assert hasattr(masker, 'mask_img_')
+
+
+def test_embedded_masker_forwards_full_param_surface():
+    from modl_tpu.input_data.fmri.base import check_embedded_masker
+
+    mask = np.ones((4, 4, 1), bool)
+    est = fMRIDictFact(mask=mask, standardize=False, detrend=True,
+                       low_pass=0.1, high_pass=0.01, t_r=2.5,
+                       mask_strategy='epi', n_jobs=3, verbose=0,
+                       memory_level=2, n_components=2)
+    masker = check_embedded_masker(est)
+    assert masker.low_pass == 0.1
+    assert masker.high_pass == 0.01
+    assert masker.t_r == 2.5
+    assert masker.mask_strategy == 'epi'
+    assert masker.n_jobs == 3
+    assert masker.memory_level == 1  # estimator level - 1
+
+
+def test_numpy_masker_butterworth():
+    """Band-pass filtering attenuates out-of-band sinusoids."""
+    t_r = 1.0
+    t = np.arange(256, dtype=float)
+    slow = np.sin(2 * np.pi * 0.01 * t)    # below high_pass=0.03
+    mid = np.sin(2 * np.pi * 0.1 * t)      # in band
+    fast = np.sin(2 * np.pi * 0.4 * t)     # above low_pass=0.2
+    data = np.stack([slow, mid, fast], axis=1)[:, None, None, :].T
+    data = np.ascontiguousarray(data.reshape(3, 1, 1, 256))
+    mask = np.ones((3, 1, 1), bool)
+    masker = NumpyMasker(mask_img=mask, low_pass=0.2, high_pass=0.03,
+                         t_r=t_r).fit()
+    out = masker.transform(data)
+    power = (out ** 2).mean(axis=0)
+    assert power[1] > 0.3          # in-band survives
+    assert power[0] < 0.05 * power[1]
+    assert power[2] < 0.05 * power[1]
+
+
+def test_numpy_masker_filter_requires_t_r():
+    mask = np.ones((2, 2, 1), bool)
+    masker = NumpyMasker(mask_img=mask, low_pass=0.1).fit()
+    with pytest.raises(ValueError, match='t_r'):
+        masker.transform(np.random.rand(2, 2, 1, 30))
+
+
+def test_fmri_transform_parallel_matches_serial():
+    """n_jobs > 1 fans record masking out over joblib processes and
+    returns identical codes (reference fmri.py:121-124)."""
+    data, mask, components, init = _make_dataset(n_subjects=4)
+    fd = fMRIDictFact(n_components=4, random_state=0, mask=mask,
+                      standardize=False, detrend=False, smoothing_fwhm=None,
+                      reduction=2, n_epochs=1, batch_size=20)
+    fd.fit(data)
+    serial = fd.transform(data)
+    fd.n_jobs = 2
+    parallel = fd.transform(data)
+    assert len(serial) == len(parallel) == len(data)
+    for a, b in zip(serial, parallel):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
