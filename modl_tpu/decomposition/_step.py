@@ -37,7 +37,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.enet import enet_norm, enet_projection
-from ..ops.sampler import draw_subset
+from ..ops.precision import precise
+from ..ops.sampler import draw_subset, draw_subset_sized
 from ..ops.solvers import (enet_regression_multi_gram,
                            enet_regression_single_gram)
 from ..ops.weights import batch_weight
@@ -109,20 +110,35 @@ class SomfConfig:
     tol: float
     max_iter: int
     replacement: bool
+    rand_size: bool = False         # Binomial subset sizes (traced mask)
+    len_max: int = 0                # static subset storage width (rand_size)
     use_pallas: bool = False        # VMEM-resident BCD kernel when eligible
     code_solver: str = 'cd'         # 'cd' (reference-exact) | 'fista' (MXU)
     average_offload: bool = False   # per-sample EMA state lives in host RAM
+    mesh: object = None             # jax.sharding.Mesh for SPMD runs
+                                    # (hashable; pickling drops it)
 
 
-def _solve_code(state, X, sample_indices, w_sample, subset, cfg):
+@precise
+def _solve_code(state, X, sample_indices, w_sample, subset, cfg,
+                n_valid=None):
     """Code computation with the three Dx/G estimators
-    (dict_fact.py:577-648). Returns (code_batch, Dx_avg', G_avg')."""
+    (dict_fact.py:577-648). Returns (code_batch, Dx_avg', G_avg').
+
+    ``n_valid`` (traced, rand_size mode): only the first n_valid subset
+    columns are live; the rest are zero-masked, which cancels exactly in
+    every product below. Scaling stays the *fixed* ``reduction`` - the
+    reference does the same under Binomial sizes (dict_fact.py:595,604).
+    """
     D = state.D
     Dx_avg, G_avg = state.Dx_avg, state.G_avg
     reduction = jnp.asarray(cfg.reduction, D.dtype)
 
     if cfg.Dx_agg != 'full' or cfg.G_agg != 'full':
         D_subset = jnp.take(D, subset, axis=1)          # (k, s)
+        if n_valid is not None:
+            valid = (jnp.arange(subset.shape[0]) < n_valid)
+            D_subset = D_subset * valid.astype(D.dtype)[None, :]
 
     if cfg.Dx_agg == 'full':
         Dx = X @ D.T
@@ -175,32 +191,79 @@ def _solve_code(state, X, sample_indices, w_sample, subset, cfg):
     return code, Dx_avg, G_avg
 
 
+def _bcd_kernel_call(cfg, D_blk, R_blk, C_inner, cn, order):
+    """Invoke the Pallas BCD kernel, mesh-aware.
+
+    Under SPMD (``cfg.mesh``) GSPMD has no partitioning rule for the
+    pallas custom call, so the call is wrapped in ``shard_map`` with
+    fully-replicated specs: every device runs the identical VMEM-resident
+    update (the dictionary update is replicated compute in the dp
+    data-parallel decomposition anyway — the reference's analog is that
+    every thread sees the full dictionary, dict_fact.py:650-715).
+    Feature-sharded operands are all-gathered at entry (k x s, a few MB
+    over ICI) and the replicated result re-shards on exit.
+    """
+    from ..ops import bcd_pallas
+    kw = dict(comp_pos=cfg.comp_pos, l1_ratio=cfg.comp_l1_ratio)
+    if cfg.mesh is None:
+        return bcd_pallas.bcd_update(D_blk, R_blk, C_inner, cn,
+                                     order=order, **kw)
+    from jax.sharding import PartitionSpec as P
+    shard_map = jax.shard_map
+    args = (D_blk, R_blk, C_inner, cn)
+    if order is not None:
+        args = args + (order,)
+
+    def run(*ops):
+        o = ops[4] if order is not None else None
+        return bcd_pallas.bcd_update(ops[0], ops[1], ops[2], ops[3],
+                                     order=o, **kw)
+
+    return shard_map(run, mesh=cfg.mesh, in_specs=(P(),) * len(args),
+                     out_specs=(P(), P()), check_vma=False)(*args)
+
+
 def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, order, cfg,
-                 n_features):
+                 n_features, n_valid=None):
     """Block coordinate descent on the subset columns (dict_fact.py:650-715).
 
     The per-atom rank-1 residual maintenance (BLAS ``ger`` in the
     reference) becomes outer-product updates inside a ``fori_loop`` over a
     randomly permuted atom order; the enet-norm budget bookkeeping
     (``comp_norm_``) is kept verbatim.
+
+    ``n_valid`` (rand_size mode): columns >= n_valid are zero-masked -
+    zero is a fixed point of the BCD row update (zero gradient, zero
+    residual, shrinkage of 0 is 0) and contributes nothing to any norm
+    or product, so the update is exactly the reference's on the first
+    n_valid columns; masked columns are restored before the scatter.
     """
     k = cfg.n_components
-    s = cfg.len_subset
+    s = subset.shape[0]
     dtype = D.dtype
-    D_subset = jnp.take(D, subset, axis=1)               # (k, s)
+    D_cols = jnp.take(D, subset, axis=1)                 # (k, s)
+    if n_valid is not None:
+        valid = (jnp.arange(s) < n_valid)
+        validf = valid.astype(dtype)[None, :]
+        D_subset = D_cols * validf
+        grad_subset = grad_subset * validf
+    else:
+        D_subset = D_cols
     incremental_G = cfg.G_agg == 'full' and s < n_features / 2.0
 
     if incremental_G:
-        G = G - D_subset @ D_subset.T
+        # G is maintained incrementally across the whole fit: bf16 noise
+        # here would random-walk, so these k x k-output products are exact
+        G = G - jnp.matmul(D_subset, D_subset.T,
+                           precision=jax.lax.Precision.HIGHEST)
 
     from ..ops import bcd_pallas
 
     if (cfg.optimizer == 'variational' and cfg.use_pallas
             and bcd_pallas.supported(k, s, dtype, cfg.comp_l1_ratio)):
         R = grad_subset - C @ D_subset
-        D_subset, comp_norm = bcd_pallas.bcd_update(
-            D_subset, R, C, comp_norm, order, comp_pos=cfg.comp_pos,
-            l1_ratio=cfg.comp_l1_ratio)
+        D_subset, comp_norm = _bcd_kernel_call(
+            cfg, D_subset, R, C, comp_norm, order)
     elif cfg.optimizer == 'variational':
         # Block-recomputed BCD: identical sequential math, restructured
         # so the residual for each 128-atom block of the visit order is
@@ -235,9 +298,11 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, order, cfg,
                 return D_blk, R_blk, C_inner, ob, cn
             return block_body
 
-        pallas_block = (cfg.use_pallas
-                        and bcd_pallas.supported(min(BLOCK, k), s, dtype,
-                                                 cfg.comp_l1_ratio))
+        pallas_bs = (bcd_pallas.max_block(k, s, dtype)
+                     if cfg.use_pallas else 0)
+        pallas_block = pallas_bs >= 8
+        if pallas_block:
+            BLOCK = pallas_bs
         for start in range(0, k, BLOCK):
             bs = min(BLOCK, k - start)
             ob = lax.dynamic_slice(order, (start,), (bs,))
@@ -248,10 +313,9 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, order, cfg,
             R_blk = B_blk - C_rows @ D_subset
             if pallas_block:
                 cn_blk = jnp.take(comp_norm, ob)
-                D_blk, cn_blk = bcd_pallas.bcd_update(
-                    D_blk, R_blk, C_inner, cn_blk,
-                    jnp.arange(bs, dtype=jnp.int32),
-                    comp_pos=cfg.comp_pos, l1_ratio=cfg.comp_l1_ratio)
+                # rows already sit in visit order -> identity order
+                D_blk, cn_blk = _bcd_kernel_call(
+                    cfg, D_blk, R_blk, C_inner, cn_blk, None)
                 comp_norm = comp_norm.at[ob].set(cn_blk)
             else:
                 D_blk, _, _, _, comp_norm = lax.fori_loop(
@@ -270,18 +334,19 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, order, cfg,
         comp_norm = budgets - enet_norm(D_new, cfg.comp_l1_ratio, axis=1)
         D_subset = D_new
 
+    if cfg.G_agg == 'full' and incremental_G:
+        G = G + jnp.matmul(D_subset, D_subset.T,
+                           precision=jax.lax.Precision.HIGHEST)
+    if n_valid is not None:
+        D_subset = jnp.where(valid[None, :], D_subset, D_cols)
     D = D.at[:, subset].set(D_subset)
-
-    if cfg.G_agg == 'full':
-        if incremental_G:
-            G = G + D_subset @ D_subset.T
-        else:
-            G = D @ D.T
+    if cfg.G_agg == 'full' and not incremental_G:
+        G = jnp.matmul(D, D.T, precision=jax.lax.Precision.HIGHEST)
     return D, G, comp_norm
 
 
 def somf_step_inner(state: SomfState, X, sample_indices, subset, order,
-                    cfg: SomfConfig):
+                    cfg: SomfConfig, n_valid=None):
     """The deterministic step body given an externally drawn feature
     subset and BCD atom order. Exposed separately so the full step can
     be oracle-tested against an independent implementation
@@ -301,23 +366,28 @@ def somf_step_inner(state: SomfState, X, sample_indices, subset, order,
 
     # --- code ---
     code_batch, Dx_avg, G_avg = _solve_code(
-        state, X, sample_indices, w_sample, subset, cfg)
+        state, X, sample_indices, w_sample, subset, cfg, n_valid=n_valid)
     code = (state.code.at[sample_indices].set(code_batch)
             if state.code is not None else None)
 
     # --- surrogate statistics (dict_fact.py:559-575) ---
+    # C feeds the BCD denominators and is k x k -> exact (HIGHEST) at
+    # negligible cost; B's per-step GEMM contribution is EMA-averaged
+    # and HBM-bound, so it keeps the fast MXU path (docs/precision.md)
+    CtC = jnp.matmul(code_batch.T, code_batch,
+                     precision=jax.lax.Precision.HIGHEST)
     if cfg.optimizer == 'variational':
-        C = state.C * (1.0 - w) + w * (code_batch.T @ code_batch) / b
+        C = state.C * (1.0 - w) + w * CtC / b
         B = state.B * (1.0 - w) + w * (code_batch.T @ X) / b
     else:
-        C = (code_batch.T @ code_batch) / b
+        C = CtC / b
         B = (code_batch.T @ X) / b
 
     # --- dictionary update on the subset columns ---
     grad_subset = jnp.take(B, subset, axis=1)
     D, G, comp_norm = _update_dict(
         state.D, state.G, state.comp_norm, C, grad_subset, subset, w,
-        order, cfg, n_features)
+        order, cfg, n_features, n_valid=n_valid)
 
     return state._replace(D=D, C=C, B=B, G=G, comp_norm=comp_norm,
                           code=code, Dx_avg=Dx_avg, G_avg=G_avg,
@@ -327,12 +397,20 @@ def somf_step_inner(state: SomfState, X, sample_indices, subset, order,
 def somf_step(state: SomfState, X, sample_indices, cfg: SomfConfig):
     """One minibatch update (dict_fact.py:495-526, serial semantics)."""
     # --- feature subset (sampler.pyx via traced cycling box) ---
-    subset, box, cursor, key = draw_subset(
-        state.box, state.cursor, state.key, cfg.len_subset, cfg.replacement)
+    if cfg.rand_size:
+        subset, n_valid, box, cursor, key = draw_subset_sized(
+            state.box, state.cursor, state.key, cfg.len_subset,
+            cfg.len_max, cfg.replacement)
+    else:
+        subset, box, cursor, key = draw_subset(
+            state.box, state.cursor, state.key, cfg.len_subset,
+            cfg.replacement)
+        n_valid = None
     key, order_key = jax.random.split(key)
     order = jax.random.permutation(order_key, cfg.n_components)
     state = state._replace(box=box, cursor=cursor, key=key)
-    return somf_step_inner(state, X, sample_indices, subset, order, cfg)
+    return somf_step_inner(state, X, sample_indices, subset, order, cfg,
+                           n_valid=n_valid)
 
 
 somf_step_jit = jax.jit(somf_step, static_argnames=("cfg",))
@@ -391,6 +469,7 @@ def somf_scan(state: SomfState, X_batches, idx_batches, cfg: SomfConfig):
 
 @partial(jax.jit, static_argnames=("code_l1_ratio", "code_alpha", "code_pos",
                                    "tol", "max_iter", "solver"))
+@precise
 def compute_code(D, G, X, code_l1_ratio, code_alpha, code_pos, tol, max_iter,
                  solver='cd'):
     """Inference path: codes for new data rows (CodingMixin.transform,
@@ -406,6 +485,7 @@ def compute_code(D, G, X, code_l1_ratio, code_alpha, code_pos, tol, max_iter,
 
 @partial(jax.jit, static_argnames=("code_l1_ratio", "code_alpha", "code_pos",
                                    "tol", "max_iter", "solver"))
+@precise
 def objective_value(D, G, X, code_l1_ratio, code_alpha, code_pos, tol,
                     max_iter, solver='cd'):
     """Penalised reconstruction objective (dict_fact.py:94-114)."""

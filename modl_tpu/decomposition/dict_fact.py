@@ -8,10 +8,11 @@ semantics). Internals are TPU-native: all learner state is a
 run as a fused ``lax.scan`` over device-resident minibatches.
 
 Deviations from the reference (documented):
-- ``rand_size=True`` (Binomial subset sizes, sampler.pyx:44-47) is
-  accepted but subsets always have the fixed size ``n_features //
-  reduction`` - TPU programs need static shapes. The subset-size *mean*
-  matches the reference's default.
+- ``rand_size=True`` (Binomial subset sizes, sampler.pyx:44-47, the
+  reference default) draws ``m ~ Binomial(n, 1/reduction)`` per step
+  like the reference, emulated under jit as a static-width window plus
+  a traced validity count (TPU programs need static shapes); draws are
+  capped at mean + 8 std (P < 1e-14) and at least 1.
 - ``n_threads`` is accepted and ignored: parallelism comes from XLA
   fusion and (optionally) a device mesh, not a thread pool.
 - RNG is numpy (host orchestration) + threefry (traced sampler/BCD order)
@@ -67,6 +68,10 @@ class _PickleStateMixin:
         if st is not None:
             state['_state'] = ('__somf_state__', _state_to_host(st))
         state['mesh'] = None  # device meshes don't survive pickling
+        cfg = state.get('_cfg')
+        if cfg is not None and getattr(cfg, 'mesh', None) is not None:
+            import dataclasses
+            state['_cfg'] = dataclasses.replace(cfg, mesh=None)
         state['_offload_fns'] = None  # jitted callables don't pickle
         return state
 
@@ -260,12 +265,19 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
             G_agg, Dx_agg = 'full', 'full'
         if dtype is None:
             dtype = getattr(self, '_dtype', np.float32)
-        # VMEM-resident Pallas BCD kernel: TPU backends, f32; kept off
-        # under meshes (no GSPMD sharding rules for the kernel yet) -
-        # decided here so mid-run set_params rebuilds stay consistent
+        # VMEM-resident Pallas BCD kernel: TPU backends, f32. Under a
+        # mesh the kernel call runs replicated inside shard_map
+        # (_step.py::_bcd_kernel_call) - decided here so mid-run
+        # set_params rebuilds stay consistent
         use_pallas = (jax.default_backend() not in ('cpu',)
-                      and np.dtype(dtype) == np.float32
-                      and self.mesh is None)
+                      and np.dtype(dtype) == np.float32)
+        # Binomial subset sizes (sampler.pyx:44-47): emulated under jit
+        # by a fixed-width window + traced validity count. Only
+        # meaningful when there is actual subsampling.
+        rand_size = bool(self.rand_size) and len_subset < n_features
+        from ..ops.sampler import binomial_len_max
+        len_max = (binomial_len_max(n_features, len_subset)
+                   if rand_size else len_subset)
         code_solver = self.code_solver
         if code_solver == 'auto':
             # sequential coordinate loops are loop-overhead-bound on
@@ -291,6 +303,8 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
             tol=float(self.tol),
             max_iter=int(self.max_iter),
             replacement=bool(self.replacement),
+            rand_size=rand_size,
+            len_max=len_max,
             use_pallas=use_pallas,
             code_solver=code_solver,
             average_offload=bool(self.average_offload),
@@ -393,10 +407,11 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         if self.mesh is not None:
             # SPMD placement: D/B feature-sharded, per-sample state
             # replicated; the step function is unchanged (GSPMD inserts
-            # the B/C psums). Pallas kernel off: no sharding rules yet.
+            # the B/C psums; the Pallas BCD kernel runs replicated via
+            # shard_map, _step.py::_bcd_kernel_call).
             from ..parallel import config_for_mesh, shard_state
             self._state = shard_state(self._state, self.mesh)
-            self._cfg = config_for_mesh(self._cfg)
+            self._cfg = config_for_mesh(self._cfg, self.mesh)
             self._mesh_feat = self.mesh.shape.get('feat', 1) > 1
 
         self.labels_ = np.arange(n_samples)

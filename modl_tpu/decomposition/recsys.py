@@ -33,6 +33,7 @@ from jax import lax
 from sklearn.base import BaseEstimator
 from sklearn.utils import check_array, check_random_state, gen_batches
 
+from ..ops.precision import precise
 from ..ops.weights import batch_weight
 
 __all__ = ["RecsysDictFact", "compute_biases", "rmse"]
@@ -86,6 +87,7 @@ def _pad_rows(X, rows, n_features, dtype, width=None):
 
 
 @partial(jax.jit, static_argnames=("alpha",))
+@precise
 def _masked_ridge_codes(D, idx, val, lens, alpha):
     """Vmapped masked ridge solves; rows with empty support -> zero code.
 
@@ -109,6 +111,7 @@ def _masked_ridge_codes(D, idx, val, lens, alpha):
 
 
 @partial(jax.jit, static_argnames=("learning_rate",))
+@precise
 def _recsys_batch_step(D, C, B, comp_norm, feature_n_iter, n_iter, code_b,
                        idx, val, lens, order, learning_rate):
     """One batch update after the codes are solved. Returns new state.
@@ -180,6 +183,7 @@ def _recsys_batch_step(D, C, B, comp_norm, feature_n_iter, n_iter, code_b,
 
 
 @partial(jax.jit, static_argnames=("alpha", "learning_rate"))
+@precise
 def _recsys_window(D, C, B, comp_norm, feature_n_iter, n_iter, code,
                    rows_w, idx_w, val_w, lens_w, orders_w, alpha,
                    learning_rate):
@@ -206,6 +210,7 @@ def _recsys_window(D, C, B, comp_norm, feature_n_iter, n_iter, code,
 
 
 @jax.jit
+@precise
 def _predict_entries(code, D, row_idx, col_idx):
     """out[e] = code[row[e]] . D[:, col[e]] for stored entries."""
     P = jnp.take(code, row_idx, axis=0)           # (e, k)
@@ -220,12 +225,20 @@ class RecsysDictFact(BaseEstimator):
     ``beta`` (bias shrinkage), ``n_components``, ``learning_rate``,
     ``batch_size`` (None -> ceil(1/sparsity)), ``detrend``, ``crop``,
     ``components_``, ``code_``.
+
+    ``mesh`` (TPU-native extension): a ``jax.sharding.Mesh`` with a
+    ``dp`` axis. The padded minibatch rows (and the vmapped masked
+    ridge solves over them) are sharded over ``dp``; the sequential
+    B/C/dictionary statistics run replicated (their per-row scan is
+    order-dependent, the reference's semantics). SPMD is a pure layout
+    change: the sharded trajectory equals the single-device one
+    (tests/test_parallel.py).
     """
 
     def __init__(self, alpha=1.0, beta=.0, n_components=30,
                  learning_rate=1., batch_size=1, dict_init=None,
                  l1_ratio=0, n_epochs=1, random_state=None, verbose=0,
-                 detrend=False, crop=None, callback=None):
+                 detrend=False, crop=None, callback=None, mesh=None):
         self.callback = callback
         self.verbose = verbose
         self.random_state = random_state
@@ -239,6 +252,7 @@ class RecsysDictFact(BaseEstimator):
         self.beta = beta
         self.detrend = detrend
         self.crop = crop
+        self.mesh = mesh
 
     def fit(self, X, y=None):
         if not sp.issparse(X):
@@ -283,6 +297,35 @@ class RecsysDictFact(BaseEstimator):
             self.verbose_iter_ = ((np.logspace(0, log_lim, self.verbose,
                                                base=10) - 1)
                                   * batch_size).tolist()
+
+        # SPMD placement (mesh): learner state replicated, padded batch
+        # rows sharded over dp so the vmapped ridge solves fan out.
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            mesh = self.mesh
+            n_dp = mesh.shape.get('dp', 1)
+
+            def rep(x):
+                return jax.device_put(x, NamedSharding(mesh, P()))
+
+            def _dp_axis(x, axis):
+                spec = [None] * x.ndim
+                if x.shape[axis] % n_dp == 0:
+                    spec[axis] = 'dp'
+                return jax.device_put(np.asarray(x),
+                                      NamedSharding(mesh, P(*spec)))
+
+            def dp_w(x):      # (W, b, ...) window stacks: rows = axis 1
+                return _dp_axis(x, 1)
+
+            def dp_b(x):      # (b, ...) single batches: rows = axis 0
+                return _dp_axis(x, 0)
+
+            D, C, B = rep(D), rep(C), rep(B)
+            comp_norm, feature_n_iter = rep(comp_norm), rep(feature_n_iter)
+            n_iter, code = rep(n_iter), rep(code)
+        else:
+            rep = dp_w = dp_b = jnp.asarray
 
         self._D, self._C, self._B = D, C, B
         self._code = code

@@ -7,58 +7,103 @@ round-trips R through HBM (~2 k*s*4 bytes per atom -> ~1.3 GB/batch in
 the ADHD-70 config). This kernel keeps D_subset and R resident in VMEM
 for the whole loop: HBM sees exactly one read and one write of each.
 
-Two constraint geometries are covered (static ``comp_l1_ratio``):
+Performance shape (v5e-measured):
+
+- Atoms are visited in row order 0..k-1: the caller pre-permutes rows
+  into the random visit order (``bcd_update`` does this when given
+  ``order``), so every row access inside the kernel is a cheap dynamic
+  slice on the sublane dimension (``pl.ds``). An earlier one-hot
+  select/merge formulation did ~6 full-block VPU passes per atom and
+  measured 13x slower.
+- Rows are *folded* sublane-major: the (k, s) buffers are reshaped (in
+  XLA, outside the kernel) to (k*FOLD, s/FOLD) so one atom's row
+  occupies FOLD=8 sublanes instead of 1. Row-local work (the ball
+  projection's data-dependent reduction chain) then runs at full VPU
+  sublane utilization instead of 1/8.
+- The rank-1 residual update needs the atom row tiled across all k
+  row-groups; Mosaic cannot reshape/tile in-kernel, so it is expressed
+  as a tiny MXU matmul against a constant tile(eye(FOLD), (k, 1))
+  matrix. The C column is likewise extracted with a (k*FOLD, k) x
+  (k, 1) one-hot matvec - dynamic *lane* slices are slow in Mosaic,
+  dynamic sublane slices are fine.
+
+Constraint geometries (static ``comp_l1_ratio``):
 
 - l2 ball (``== 0``, default for DictFact/ImageDictFact): closed-form
   norm scaling (enet.pyx:62-70);
-- general elastic-net / l1 ball (``> 0``, the fMRI path): the exact
-  pivot threshold needs a sort; in VMEM a fixed-count bisection on the
-  monotone KKT equation reaches 2^-40 relative precision with pure VPU
-  reductions and no data movement, so it replaces the sort here.
+- l1 ball (``== 1``, the fMRI path): Newton iteration on the monotone
+  piecewise-linear KKT equation g(lam) = sum(relu(|v|-lam)) = r.
+  Started left of the root, Newton on a convex decreasing piecewise-
+  linear function converges monotonically and finitely (Condat-style);
+  NEWTON_ITERS=16 is f32-exact in practice and beats bisection's fixed
+  40-step dependent-reduction chain ~2.5x;
+- general elastic-net (``0 < ratio < 1``): fixed-count bisection on the
+  monotone KKT equation (2^-30 relative precision, pure VPU reductions).
 
-Scope limits: float32 and ``2 k s * 4`` bytes within the VMEM budget;
-float64 and larger shapes fall back to the lax path
-(`modl_tpu/decomposition/_step.py::_update_dict`).
+Scope limits: float32 and the VMEM budget below; float64 and larger
+shapes fall back to the lax path
+(`modl_tpu/decomposition/_step.py::_update_dict`), and large k is
+handled by the block-recomputed driver there (which calls this kernel
+once per row block of the visit order).
 """
 import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # flipped to True by tests to run the kernel in interpreter mode on CPU
 INTERPRET = False
 
-# VMEM budget for D_subset + R (bytes); beyond this fall back to lax.
+# VMEM budget for the resident D + R buffers (bytes); beyond this fall
+# back to lax / smaller row blocks. Headroom above it (v5e has ~16 MB)
+# absorbs the C_rep/T constants and the rank-1 matmul temporary.
 VMEM_BUDGET = 11 * 1024 * 1024
 
-# bisection steps for the enet-ball threshold (f32-exact at 40)
-PROJ_ITERS = 40
+# sublane folding factor for row-local work (VPU tile is 8 sublanes)
+FOLD = 8
+# fold only when rows are wide enough for the relayout to pay off
+FOLD_MIN_S = 2048
+
+# Newton steps for the l1-ball threshold (exact after ~6 in practice)
+NEWTON_ITERS = 16
+# bisection steps for the general enet-ball threshold
+PROJ_ITERS = 30
 
 
 def supported(k, s, dtype, comp_l1_ratio):
     """Whether the Pallas kernel covers this configuration."""
-    del comp_l1_ratio  # both geometries are covered
+    del comp_l1_ratio  # all geometries are covered
     if jnp.dtype(dtype) != jnp.float32:
         return False
-    # resident buffers: D + R (k x s each), C (k x k), diag/cn/onehot
-    vmem_bytes = (2 * k * s + k * k + 4 * k) * 4
+    # resident buffers: D + R (k x s each), C_rep (FOLD k x k), cn
+    vmem_bytes = (2 * k * s + FOLD * k * k + 8 * k) * 4
     if vmem_bytes > VMEM_BUDGET:
         return False
     return True
 
 
-def _enet_norm_row(v, l1_ratio):
+def max_block(k_total, s, dtype):
+    """Largest row-block size the kernel supports at subset width s."""
+    if jnp.dtype(dtype) != jnp.float32:
+        return 0
+    bs = 128
+    while bs >= 8 and not supported(bs, s, dtype, 0.0):
+        bs //= 2
+    return bs if supported(bs, s, dtype, 0.0) else 0
+
+
+def _enet_norm_rows(v, l1_ratio):
     a = jnp.abs(v)
     return jnp.sum(a * (l1_ratio + (1.0 - l1_ratio) * a))
 
 
-def _project_row(v, radius, l1_ratio):
-    """Elastic-net-ball projection of a (1, s) row, traced radius.
-
-    l2: closed form. l1/enet: bisection on the shrinkage threshold
-    (monotone; see ops/enet.py::enet_projection_bisect)."""
+def _project_rows(v, radius, l1_ratio):
+    """Elastic-net-ball projection of one atom row (any 2-D layout of
+    the same elements: folding is projection-invariant because every
+    reduction here is a full-array reduction), traced radius."""
     tiny = jnp.float32(1e-30)
     if l1_ratio == 0.0:
         norm2 = jnp.sum(v * v)
@@ -66,6 +111,26 @@ def _project_row(v, radius, l1_ratio):
                           jnp.sqrt(norm2 / jnp.maximum(radius, tiny)))
         out = jnp.where(radius > 0, v / scale, 0.0)
         return out
+
+    if l1_ratio == 1.0:
+        # Newton on g(lam) = sum(relu(b - lam)); from lam=0 (left of the
+        # root) the iteration is monotone and finitely convergent on the
+        # piecewise-linear g, so a fixed count is exact in practice.
+        b = jnp.abs(v)
+        norm = jnp.sum(b)
+
+        def body(_, lam):
+            t = b - lam
+            pos = (t > 0).astype(jnp.float32)
+            g = jnp.sum(t * pos)
+            n_pos = jnp.maximum(jnp.sum(pos), 1.0)
+            return jnp.maximum(lam + (g - radius) / n_pos, 0.0)
+
+        lam = lax.fori_loop(0, NEWTON_ITERS, body,
+                            jnp.zeros((), jnp.float32))
+        out = jnp.where(norm <= radius, v,
+                        jnp.sign(v) * jnp.maximum(b - lam, 0.0))
+        return jnp.where(radius > 0, out, jnp.zeros_like(v))
 
     gamma = 2.0 / l1_ratio - 2.0
     r = radius / l1_ratio
@@ -82,7 +147,7 @@ def _project_row(v, radius, l1_ratio):
         too_big = scaled_norm(mid) > r
         return jnp.where(too_big, mid, lo), jnp.where(too_big, hi, mid)
 
-    lo, hi = jax.lax.fori_loop(
+    lo, hi = lax.fori_loop(
         0, PROJ_ITERS, body,
         (jnp.zeros((), jnp.float32), jnp.max(b)))
     lam = 0.5 * (lo + hi)
@@ -91,88 +156,129 @@ def _project_row(v, radius, l1_ratio):
     return jnp.where(radius > 0, out, jnp.zeros_like(v))
 
 
-def _kernel(order_ref, C_ref, Cdiag_ref, D_in, R_in, cn_in, D_out, R_out,
-            cn_out, *, k, comp_pos, l1_ratio):
+def _kernel(C_rep_ref, Cd_ref, T_ref, D_in, R_in, cn_in, D_out, R_out,
+            cn_out, *, k, fold, comp_pos, l1_ratio):
     # operate in place on the aliased outputs
     D_out[:] = D_in[:]
     R_out[:] = R_in[:]
     cn_out[:] = cn_in[:]
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)  # (k, 1)
+    row_ids = lax.broadcasted_iota(jnp.int32, (k, 1), 0)  # (k, 1)
 
-    # Dynamic row indexing compiles pathologically in Mosaic; one-hot
-    # select/merge keeps every op static-shape over the whole (k, s)
-    # VMEM-resident buffers (a few extra full passes, all VPU).
     def body(j, carry):
-        kk = order_ref[j]
-        onehot = (row_ids == kk).astype(jnp.float32)          # (k, 1)
-        D_all = D_out[:]
-        Dk = jnp.sum(D_all * onehot, axis=0, keepdims=True)   # (1, s)
-        norm_old = _enet_norm_row(Dk, l1_ratio)
-        cn_all = cn_out[:]                                    # (k, 1)
-        budget = jnp.sum(cn_all * onehot) + norm_old
-        Ck = jnp.sum(C_ref[:] * onehot, axis=0, keepdims=True)  # (1, k)
-        Ckk = jnp.sum(Cdiag_ref[:] * onehot)
+        Dk = D_out[pl.ds(fold * j, fold), :]              # (fold, spp)
+        norm_old = _enet_norm_rows(Dk, l1_ratio)
+        budget = jnp.sum(cn_out[pl.ds(j, 1), :]) + norm_old
+        # C column j via one-hot matvec (dynamic lane slices are slow in
+        # Mosaic; a small MXU matvec is ~free at block sizes), repeated
+        # fold-fold so it broadcasts over the folded row groups
+        onehot = (row_ids == j).astype(jnp.float32)       # (k, 1)
+        # DEFAULT (bf16-input) dots: these only select/tile through
+        # exact 0/1 matrices, so the only loss is bf16 rounding of the
+        # C column / delta row feeding the rank-1 residual update -
+        # the same noise class as the block residual's own DEFAULT
+        # GEMM recompute, and ~6x cheaper than HIGHEST in Mosaic
+        # (0.79 vs 1.94 ms/block on v5e). Objective-trajectory parity
+        # vs the exact lax path is pinned on-device by
+        # tests/test_tpu_quality.py (measured rel diff <= 1.4e-3 over
+        # masked/full x l2/l1-ball planted-data fits).
+        Ck = jnp.dot(C_rep_ref[:], onehot,
+                     preferred_element_type=jnp.float32)  # (fold*k, 1)
+        Ckk = jnp.sum(Cd_ref[pl.ds(j, 1), :])
         # the post-"re-add own contribution" residual row is derivable
         # from the maintained residual without materialising it:
-        # Rk = R[kk] + Ckk * Dk  (fuses the two rank-1 passes into one)
-        Rk = jnp.sum(R_out[:] * onehot, axis=0, keepdims=True) + Ckk * Dk
+        # Rk = R[j] + Ckk * Dk  (fuses the two rank-1 passes into one)
+        Rk = R_out[pl.ds(fold * j, fold), :] + Ckk * Dk
         good = Ckk > 1e-20
         Dk_new = jnp.where(good, Rk / jnp.where(good, Ckk, 1.0), Dk)
         if comp_pos:
             Dk_new = jnp.maximum(Dk_new, 0.0)
-        Dk_new = _project_row(Dk_new, budget, l1_ratio)
-        new_cn = budget - _enet_norm_row(Dk_new, l1_ratio)
-        cn_out[:] = cn_all * (1.0 - onehot) + new_cn * onehot
-        R_out[:] = R_out[:] - Ck.T * (Dk_new - Dk)
-        D_out[:] = D_all * (1.0 - onehot) + onehot * Dk_new
+        Dk_new = _project_rows(Dk_new, budget, l1_ratio)
+        new_cn = budget - _enet_norm_rows(Dk_new, l1_ratio)
+        cn_out[pl.ds(j, 1), :] = new_cn.reshape(1, 1)
+        # the only O(k*s) pass per atom: rank-1 residual maintenance.
+        # Mosaic cannot tile (fold, spp) -> (fold*k, spp) in-kernel, so
+        # the tiling is a matmul against the constant T = tile(eye(fold))
+        delta = Dk_new - Dk
+        if fold == 1:
+            R_out[:] = R_out[:] - Ck * delta
+        else:
+            delta_t = jnp.dot(T_ref[:], delta,
+                              preferred_element_type=jnp.float32)
+            R_out[:] = R_out[:] - Ck * delta_t
+        D_out[pl.ds(fold * j, fold), :] = Dk_new
         return carry
 
-    jax.lax.fori_loop(0, k, body, 0)
+    lax.fori_loop(0, k, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("comp_pos", "l1_ratio"))
-def bcd_update(D_subset, R, C, comp_norm, order, comp_pos=False,
+@functools.partial(jax.jit,
+                   static_argnames=("k", "fold", "comp_pos", "l1_ratio"))
+def _bcd_update_ordered(D_subset, R, C, cn2, k, fold, comp_pos, l1_ratio):
+    """Kernel invocation: atoms visited in row order 0..k-1.
+
+    Folds rows sublane-major (outside the kernel, in XLA) so row-local
+    work uses all 8 VPU sublanes, runs the kernel, unfolds.
+    """
+    s = D_subset.shape[1]
+    sp = -(-s // fold) * fold
+    spp = sp // fold
+    if sp != s:
+        # zero padding is a fixed point of the update: pad gradients are
+        # zero, shrinkage/scaling of 0 is 0, norms are unaffected
+        pad = ((0, 0), (0, sp - s))
+        D_subset = jnp.pad(D_subset, pad)
+        R = jnp.pad(R, pad)
+    D8 = D_subset.reshape(k * fold, spp)
+    R8 = R.reshape(k * fold, spp)
+    C_rep = jnp.repeat(C, fold, axis=0) if fold > 1 else C
+    Cdiag = jnp.diagonal(C).reshape(k, 1)
+    T = (jnp.tile(jnp.eye(fold, dtype=D8.dtype), (k, 1))
+         if fold > 1 else jnp.zeros((1, 1), D8.dtype))
+    kern = functools.partial(_kernel, k=k, fold=fold, comp_pos=comp_pos,
+                             l1_ratio=float(l1_ratio))
+    D_new, _, cn_new = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((k * fold, spp), D8.dtype),
+            jax.ShapeDtypeStruct((k * fold, spp), R8.dtype),
+            jax.ShapeDtypeStruct((k, 1), cn2.dtype),
+        ],
+        input_output_aliases={3: 0, 4: 1, 5: 2},
+        interpret=INTERPRET,
+    )(C_rep, Cdiag, T, D8, R8, cn2)
+    return D_new.reshape(k, sp)[:, :s], cn_new
+
+
+def bcd_update(D_subset, R, C, comp_norm, order=None, comp_pos=False,
                l1_ratio=0.0):
     """Run the VMEM-resident BCD loop; returns (D_subset', comp_norm').
 
     D_subset (k, s) f32, R (k, s) = grad - C @ D_subset, C (k, k),
-    comp_norm (k,), order (k,) int32 atom visit order; ``l1_ratio`` is
-    the static dictionary-ball geometry (comp_l1_ratio).
+    comp_norm (k,), order (k,) int32 atom visit order (None = row
+    order); ``l1_ratio`` is the static dictionary-ball geometry
+    (comp_l1_ratio). When ``order`` is given, rows are permuted into
+    visit order outside the kernel and un-permuted after, so the kernel
+    itself always walks rows 0..k-1.
     """
     k, s = D_subset.shape
-    cn2 = comp_norm.reshape(k, 1)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # C
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # diag(C)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # D
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # R
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # cn
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-    )
-    kern = functools.partial(_kernel, k=k, comp_pos=comp_pos,
-                             l1_ratio=float(l1_ratio))
-    D_new, _, cn_new = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((k, s), D_subset.dtype),
-            jax.ShapeDtypeStruct((k, s), R.dtype),
-            jax.ShapeDtypeStruct((k, 1), comp_norm.dtype),
-        ],
-        input_output_aliases={3: 0, 4: 1, 5: 2},
-        interpret=INTERPRET,
-    )(order.astype(jnp.int32), C, jnp.diagonal(C).reshape(k, 1),
-      D_subset, R, cn2)
-    return D_new, cn_new.reshape(k)
+    if order is not None:
+        inv = jnp.argsort(order)
+        D_subset = jnp.take(D_subset, order, axis=0)
+        R = jnp.take(R, order, axis=0)
+        C = jnp.take(jnp.take(C, order, axis=0), order, axis=1)
+        comp_norm = jnp.take(comp_norm, order)
+    fold = FOLD if s >= FOLD_MIN_S else 1
+    D_new, cn_new = _bcd_update_ordered(
+        D_subset, R, C, comp_norm.reshape(k, 1), k, fold, bool(comp_pos),
+        float(l1_ratio))
+    cn_new = cn_new.reshape(k)
+    if order is not None:
+        D_new = jnp.take(D_new, inv, axis=0)
+        cn_new = jnp.take(cn_new, inv)
+    return D_new, cn_new
 
 
 def bcd_update_l2(D_subset, R, C, comp_norm, order, comp_pos=False):

@@ -24,12 +24,19 @@ box shuffles) with two TPU-native pieces:
      The tail-preserving reshuffle is expressed as a roll + keyed argsort
      so every branch is shape-static.
 
-   TPU requires static shapes, so subsets have fixed size
-   ``len_subset = n // reduction`` (the reference's ``rand_size=False``
-   mode, sampler.pyx:48). The Binomial-size mode (``rand_size=True``)
-   has no static-shape equivalent; estimators accept the flag but always
-   use fixed-size subsets (documented deviation; the subset-size *mean*
-   matches).
+   TPU requires static shapes, so the *storage* of a subset has fixed
+   size. The reference's two size modes (sampler.pyx:44-48) map to:
+
+   - ``rand_size=False``: subsets of exactly ``len_subset = n //
+     reduction`` features.
+   - ``rand_size=True`` (the reference default): the *drawn* size is
+     ``m ~ Binomial(n, 1/reduction)`` per draw, emulated under jit as a
+     fixed ``len_max``-wide window plus the traced count ``m``
+     (``draw_subset_sized``); consumers mask columns ``>= m`` to zero,
+     which is algebraically a no-op in every downstream product and a
+     fixed point of the dictionary update, so the effective subset has
+     exactly the Binomial size. ``len_max`` caps the draw at
+     mean + 8 std (P(exceed) < 1e-14; draws are clamped).
 
 2. ``Sampler`` - a host-side, eager replica of the reference class
    (including ``rand_size``) for API parity and for host-driven
@@ -41,7 +48,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["init_sampler_state", "draw_subset", "Sampler"]
+__all__ = ["init_sampler_state", "draw_subset", "draw_subset_sized",
+           "binomial_len_max", "Sampler"]
+
+
+def binomial_len_max(n_features, len_subset):
+    """Static storage width for Binomial(n, len_subset/n) draws:
+    mean + 8 std, clamped to the feature count."""
+    import math
+    p = len_subset / max(n_features, 1)
+    std = math.sqrt(max(n_features * p * (1.0 - p), 0.0))
+    return int(min(n_features, math.ceil(len_subset + 8.0 * std)))
 
 
 def init_sampler_state(n_features, seed_key):
@@ -106,6 +123,59 @@ def draw_subset(box, cursor, key, len_subset, replacement):
     subset = jax.lax.dynamic_slice(box, (start,), (len_subset,))
     cursor = (start + len_subset).astype(jnp.int32)
     return subset, box, cursor, k_next
+
+
+def draw_subset_sized(box, cursor, key, len_subset, len_max, replacement):
+    """Binomial-size subset draw (``rand_size=True``, sampler.pyx:44-47).
+
+    Returns ``(subset, m, box, cursor, key)`` where ``subset`` has the
+    static width ``len_max`` and only the first ``m`` entries (traced,
+    ``m ~ Binomial(n, len_subset/n)`` clamped to ``[1, len_max]``) form
+    the drawn subset; callers zero-mask columns ``>= m``. Window
+    mechanics mirror ``draw_subset``: uniform-offset wraparound windows
+    of a lazily reshuffled box (replacement) or the cycling partition
+    with the tail-preserving reshuffle (without replacement, where the
+    cursor advances by the *drawn* size, exactly like the reference's
+    ``lim_sup = lim_inf + len_subset``).
+    """
+    n = box.shape[0]
+    k_size, k_draw, k_next = jax.random.split(key, 3)
+    p = len_subset / n
+    m = jax.random.binomial(k_size, n=float(n), p=p)
+    m = jnp.clip(m.astype(jnp.int32), 1, len_max)
+
+    if replacement:
+        k_perm, k_off = jax.random.split(k_draw)
+        draws_per_cycle = max(n // len_subset, 1)
+        box = jax.lax.cond(
+            cursor >= draws_per_cycle,
+            lambda b: jax.random.permutation(k_perm, b),
+            lambda b: b,
+            box)
+        cursor = jnp.where(cursor >= draws_per_cycle, 0, cursor)
+        offset = jax.random.randint(k_off, (), 0, n)
+        wrapped = jnp.concatenate([box, box[:len_max]])
+        subset = jax.lax.dynamic_slice(wrapped, (offset,), (len_max,))
+        return subset, m, box, (cursor + 1).astype(jnp.int32), k_next
+
+    remainder = n - cursor
+    needs_reshuffle = remainder < m
+
+    def reshuffle(operands):
+        box, cursor = operands
+        rolled = jnp.roll(box, -cursor)
+        idx = jnp.arange(n)
+        rand = jax.random.uniform(k_draw, (n,))
+        rem = (n - cursor).astype(idx.dtype)
+        sort_key = jnp.where(idx < rem, idx.astype(rand.dtype) - n, rand)
+        return rolled[jnp.argsort(sort_key)], jnp.int32(0)
+
+    box, start = jax.lax.cond(needs_reshuffle, reshuffle,
+                              lambda o: o, (box, cursor))
+    wrapped = jnp.concatenate([box, box[:len_max]])
+    subset = jax.lax.dynamic_slice(wrapped, (start,), (len_max,))
+    cursor = (start + m).astype(jnp.int32)
+    return subset, m, box, cursor, k_next
 
 
 class Sampler:

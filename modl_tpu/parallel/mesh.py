@@ -28,12 +28,14 @@ __all__ = ["make_mesh", "shard_state", "shard_batch", "shard_batches",
            "shard_indices", "replicate", "config_for_mesh"]
 
 
-def config_for_mesh(cfg):
-    """Adapt a SomfConfig for sharded execution: the Pallas BCD kernel
-    has no GSPMD sharding rules yet, so multi-device runs use the pure
-    XLA path (which propagates shardings automatically)."""
+def config_for_mesh(cfg, mesh):
+    """Adapt a SomfConfig for sharded execution: record the mesh so the
+    step's Pallas BCD kernel call is wrapped in ``shard_map`` with
+    replicated specs (GSPMD has no partitioning rule for the custom
+    call; `_step.py::_bcd_kernel_call`). ``use_pallas`` keeps whatever
+    the backend decided (already False on CPU)."""
     import dataclasses
-    return dataclasses.replace(cfg, use_pallas=False)
+    return dataclasses.replace(cfg, mesh=mesh)
 
 
 def make_mesh(n_dp=None, n_feat=1, devices=None):

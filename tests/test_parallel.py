@@ -98,3 +98,42 @@ def test_dictfact_mesh_odd_batch():
     df.prepare(n_samples=50, X=X)
     df.partial_fit(X)
     assert df.n_iter_ == 50
+
+
+def test_pallas_kernel_under_mesh_matches_single_device():
+    """The VMEM-resident BCD kernel runs under SPMD via the replicated
+    shard_map wrapper (_step.py::_bcd_kernel_call); its sharded
+    trajectory must match the single-device kernel path. Interpreter
+    mode stands in for Mosaic on the CPU mesh."""
+    import dataclasses
+
+    from modl_tpu.ops import bcd_pallas
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(64, 32).astype(np.float32)
+    df = DictFact(n_components=4, reduction=2, code_alpha=1e-3,
+                  comp_l1_ratio=0, random_state=0, batch_size=16,
+                  dtype=np.float32)
+    df.prepare(n_samples=64, X=X)
+    state = df._state
+    Xb = jnp.asarray(X[:16], state.D.dtype)
+    idx = jnp.arange(16, dtype=jnp.int32)
+
+    old = bcd_pallas.INTERPRET
+    bcd_pallas.INTERPRET = True
+    try:
+        cfg1 = dataclasses.replace(df._cfg, use_pallas=True)
+        assert bcd_pallas.supported(4, df._cfg.len_subset, jnp.float32, 0.0)
+        ref = somf_step_jit(state, Xb, idx, cfg1)
+
+        mesh = make_mesh(n_dp=4, n_feat=2)
+        cfg2 = dataclasses.replace(cfg1, mesh=mesh)
+        out = somf_step_jit(shard_state(state, mesh),
+                            shard_batch(Xb, mesh, feat=True), idx, cfg2)
+        np.testing.assert_allclose(np.asarray(out.D), np.asarray(ref.D),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(out.comp_norm),
+                                   np.asarray(ref.comp_norm),
+                                   rtol=1e-5, atol=1e-6)
+    finally:
+        bcd_pallas.INTERPRET = old
