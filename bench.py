@@ -1,16 +1,25 @@
 """Benchmark: SOMF training throughput, TPU vs multi-core BLAS reference.
 
-Workload: the reference's ADHD headline configuration (BASELINE.md — 70
-components, ~2e5 voxels, batch 100, reduction 12, ridge code path,
-exps/multi_decompose_fmri.py:35-45) streamed through the jitted SOMF
-step. The baseline is a faithful numpy/BLAS re-implementation of the
-same per-batch math (masked Dx/G products, shared-Gram Cholesky code
-solve, C/B EMAs, block coordinate descent with rank-1 residual updates)
-running with the host's multi-threaded BLAS — a stand-in for the
-reference's Cython+BLAS engine, which no longer builds on modern
-toolchains.
+Primary workload: the reference's ADHD headline configuration
+(BASELINE.md — 70 components, ~2e5 voxels, batch 100, reduction 12,
+ridge code path, exps/multi_decompose_fmri.py:35-45) streamed through
+the jitted SOMF step. The baseline is a faithful numpy/BLAS
+re-implementation of the same per-batch math (masked Dx/G products,
+shared-Gram Cholesky code solve, C/B EMAs, block coordinate descent
+with rank-1 residual updates) running on the host BLAS — a stand-in for
+the reference's Cython+BLAS engine, which cannot build in this
+environment (no Cython; numpy.distutils removed on Python 3.12). The
+stand-in's per-op timings are audited in docs/baseline_audit.md so the
+comparison is inspectable op by op.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The JSON line also carries the second BASELINE.md north star under
+"extra": MovieLens-10M-scale time-to-RMSE-target for the recsys engine
+(target = 95% of the bias-only RMSE), ours vs the numpy stand-in of the
+reference's per-row masked ridge + BCD epoch (timed on a slice of the
+batch stream and extrapolated — docs/baseline_audit.md), plus the
+HCP-scale k=1024 SOMF throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 import json
 import sys
@@ -130,15 +139,287 @@ def bench_numpy_baseline(X):
     return STEPS_BASELINE * BATCH / dt
 
 
+def bench_hcp1024():
+    """HCP-scale SOMF throughput (exps/hcp/decompose_hcp.py:51-63:
+    k=1024, reduction 20, l1 dictionary ball, ~2e5 voxels)."""
+    import jax.numpy as jnp
+
+    from modl_tpu import DictFact
+    from modl_tpu.decomposition._step import somf_scan
+
+    n_samples, n_features, batch = 1200, 200_000, 200
+    rng = np.random.RandomState(0)
+    X = rng.randn(n_samples, n_features).astype(np.float32)
+    df = DictFact(n_components=1024, reduction=20, code_alpha=3e-4,
+                  code_l1_ratio=0, comp_l1_ratio=1, learning_rate=0.92,
+                  batch_size=batch, random_state=0, dtype=np.float32)
+    df.prepare(n_samples=n_samples, X=X)
+    nb = n_samples // batch
+    Xb = jnp.asarray(X).reshape(nb, batch, n_features)
+    ib = jnp.arange(nb * batch, dtype=jnp.int32).reshape(nb, batch)
+    state = somf_scan(df._state, Xb, ib, df._cfg)
+    float(jnp.sum(state.D[0, :8]))  # sync
+    t0 = time.perf_counter()
+    for _ in range(3):
+        state = somf_scan(state, Xb, ib, df._cfg)
+    float(jnp.sum(state.D[0, :8]) + state.n_iter)
+    return 3 * n_samples / (time.perf_counter() - t0)
+
+
+# ---------------------------------------------------------------------
+# MovieLens-10M-scale recsys: time to RMSE target (BASELINE.md:25)
+# ---------------------------------------------------------------------
+
+RECSYS_SCALE = dict(n_users=69_878, n_items=10_677, nnz=10_000_000)
+RECSYS_K = 50
+RECSYS_ALPHA = 1.0
+RECSYS_LR = 0.95
+RECSYS_TARGET_FACTOR = 0.95          # target = 95% of bias-only RMSE
+RECSYS_MAX_EPOCHS = 3
+RECSYS_BASELINE_SLICE = 30           # baseline batches timed, then
+                                     # extrapolated to the full epoch
+
+
+def _recsys_data():
+    import scipy.sparse as sp
+
+    from modl_tpu.datasets.recsys import make_synthetic_ratings
+    from modl_tpu.utils.recsys.cross_validation import train_test_split
+
+    c = RECSYS_SCALE
+    density = c['nnz'] / c['n_users'] / c['n_items']
+    X = make_synthetic_ratings(c['n_users'], c['n_items'], rank=12,
+                               density=density, seed=0)
+    X_tr, X_te = train_test_split(X, train_size=0.75, random_state=0)
+    return sp.csr_matrix(X_tr), sp.csr_matrix(X_te)
+
+
+def bench_recsys_tpu(X_tr, X_te, target):
+    """Drive the engine's windowed epoch loop (the exact fit() path,
+    RecsysDictFact.fit lines 300-350) and clock RMSE after each epoch."""
+    import jax.numpy as jnp
+    from sklearn.utils import gen_batches
+
+    from modl_tpu.decomposition.recsys import (
+        _masked_ridge_codes, _pad_rows, _pad_rows_window, _predict_entries,
+        _recsys_batch_step, _recsys_window, compute_biases)
+
+    X = X_tr.copy()
+    row_mean, col_mean = compute_biases(X, beta=0.1, inplace=True)
+    n_samples, n_features = X.shape
+    k = RECSYS_K
+    rng = np.random.RandomState(0)
+    D0 = rng.randn(k, n_features)
+    D0 /= np.sqrt(np.sum(D0 ** 2, axis=1))[:, None]
+    D = jnp.asarray(D0, jnp.float32)
+    C = jnp.zeros((k, k), jnp.float32)
+    B = jnp.zeros((k, n_features), jnp.float32)
+    comp_norm = jnp.zeros((k,), jnp.float32)
+    feature_n_iter = jnp.zeros((n_features,), jnp.int32)
+    n_iter = jnp.zeros((), jnp.int32)
+    code = jnp.zeros((n_samples, k), jnp.float32)
+    sparsity = X.nnz / n_samples / n_features
+    batch_size = int(np.ceil(1.0 / sparsity))
+    alpha, lr, window = RECSYS_ALPHA, RECSYS_LR, 32
+
+    te_rows = np.repeat(np.arange(n_samples),
+                        np.diff(X_te.indptr)).astype(np.int32)
+    te_cols = X_te.indices.astype(np.int32)
+    te_base = (row_mean[te_rows] + col_mean[te_cols])
+
+    def test_rmse():
+        pred = np.asarray(_predict_entries(code, D, jnp.asarray(te_rows),
+                                           jnp.asarray(te_cols)))
+        pred = np.clip(pred + te_base, 1.0, 5.0)
+        return float(np.sqrt(np.mean((X_te.data - pred) ** 2)))
+
+    # compile both batch shapes once on throwaway state (pure functions;
+    # results discarded) so the timed epochs measure steady-state math.
+    # The one-time compile cost is reported separately in the JSON.
+    t0 = time.perf_counter()
+    warm_rows = np.stack([np.arange(batch_size) + i * batch_size
+                          for i in range(window)])
+    idx_w, val_w, lens_w, _ = _pad_rows_window(X, warm_rows, n_features,
+                                               np.float32)
+    ow = np.stack([rng.permutation(k) for _ in range(window)])
+    _recsys_window(D, C, B, comp_norm, feature_n_iter, n_iter, code,
+                   jnp.asarray(warm_rows), jnp.asarray(idx_w),
+                   jnp.asarray(val_w), jnp.asarray(lens_w),
+                   jnp.asarray(ow), alpha, lr)
+    idx, val, lens, _ = _pad_rows(X, warm_rows[0], n_features, np.float32)
+    cb = _masked_ridge_codes(D, jnp.asarray(idx), jnp.asarray(val),
+                             jnp.asarray(lens), alpha)
+    _recsys_batch_step(D, C, B, comp_norm, feature_n_iter, n_iter, cb,
+                       jnp.asarray(idx), jnp.asarray(val),
+                       jnp.asarray(lens), jnp.asarray(rng.permutation(k)),
+                       lr)
+    float(jnp.sum(D[0, :8]))
+    compile_s = time.perf_counter() - t0
+
+    elapsed = 0.0
+    t_hit = None
+    epochs_at_hit = None
+    rmse_best = None
+    for epoch in range(RECSYS_MAX_EPOCHS):
+        t0 = time.perf_counter()
+        permutation = rng.permutation(n_samples)
+        batches = list(gen_batches(n_samples, batch_size))
+        pos = 0
+        while pos < len(batches):
+            group = [bt for bt in batches[pos:pos + window]
+                     if bt.stop - bt.start == batch_size]
+            group = group if len(group) == window else []
+            if group:
+                rows_w = np.stack([permutation[bt] for bt in group])
+                orders_w = np.stack([rng.permutation(k) for _ in group])
+                idx_w, val_w, lens_w, _ = _pad_rows_window(
+                    X, rows_w, n_features, np.float32)
+                (D, C, B, comp_norm, feature_n_iter, n_iter, code) = \
+                    _recsys_window(
+                        D, C, B, comp_norm, feature_n_iter, n_iter, code,
+                        jnp.asarray(rows_w), jnp.asarray(idx_w),
+                        jnp.asarray(val_w), jnp.asarray(lens_w),
+                        jnp.asarray(orders_w), alpha, lr)
+                pos += window
+                continue
+            rows = permutation[batches[pos]]
+            pos += 1
+            idx, val, lens, _ = _pad_rows(X, rows, n_features, np.float32)
+            idx_d, val_d = jnp.asarray(idx), jnp.asarray(val)
+            lens_d = jnp.asarray(lens)
+            code_b = _masked_ridge_codes(D, idx_d, val_d, lens_d, alpha)
+            code = code.at[jnp.asarray(rows)].set(code_b)
+            D, C, B, comp_norm, feature_n_iter, n_iter = \
+                _recsys_batch_step(D, C, B, comp_norm, feature_n_iter,
+                                   n_iter, code_b, idx_d, val_d, lens_d,
+                                   jnp.asarray(rng.permutation(k)), lr)
+        float(jnp.sum(D[0, :8]) + n_iter)  # device sync
+        elapsed += time.perf_counter() - t0
+        r = test_rmse()
+        rmse_best = r if rmse_best is None else min(rmse_best, r)
+        if t_hit is None and r < target:
+            t_hit = elapsed
+            epochs_at_hit = epoch + 1
+            break
+    return t_hit, rmse_best, epochs_at_hit, compile_s
+
+
+def bench_recsys_numpy_slice(X_tr):
+    """Numpy/BLAS stand-in for the reference's recsys epoch (per-row
+    masked ridge solve recsys.py:168-185, B scatter-EMA, union-support
+    BCD recsys.py:187-213), timed over RECSYS_BASELINE_SLICE batches and
+    extrapolated to the full epoch. docs/baseline_audit.md explains why
+    this stands in for the Cython engine and audits each op."""
+    X = X_tr
+    n_samples, n_features = X.shape
+    k = RECSYS_K
+    rng = np.random.RandomState(0)
+    D = rng.randn(k, n_features).astype(np.float32)
+    D /= np.sqrt(np.sum(D ** 2, axis=1))[:, None]
+    C = np.zeros((k, k), np.float32)
+    B = np.zeros((k, n_features), np.float32)
+    comp_norm = np.zeros((k,), np.float32)
+    feature_n_iter = np.zeros((n_features,), np.int64)
+    sparsity = X.nnz / n_samples / n_features
+    batch_size = int(np.ceil(1.0 / sparsity))
+    alpha, lr = RECSYS_ALPHA, RECSYS_LR
+    eye = np.eye(k, dtype=np.float32)
+    n_iter = 0
+    permutation = rng.permutation(n_samples)
+
+    t0 = time.perf_counter()
+    for it in range(RECSYS_BASELINE_SLICE):
+        rows = permutation[it * batch_size:(it + 1) * batch_size]
+        b = len(rows)
+        n_iter += b
+        i = np.arange(n_iter + 1 - b, n_iter + 1, dtype=np.float64)
+        w = 1.0 - np.prod(1.0 - (1.0 / i) ** lr)
+        codes = np.zeros((b, k), np.float32)
+        touched = []
+        for j, r in enumerate(rows):
+            sl = slice(X.indptr[r], X.indptr[r + 1])
+            s, x = X.indices[sl], X.data[sl]
+            if len(s) == 0:
+                continue
+            Ds = D[:, s]
+            G = Ds @ Ds.T + (alpha * len(s) / n_features) * eye
+            codes[j] = np.linalg.solve(G, Ds @ x)
+            feature_n_iter[s] += 1
+            w_B = np.minimum(1.0, w * n_iter / feature_n_iter[s]
+                             ).astype(np.float32)
+            B[:, s] = B[:, s] * (1 - w_B) + np.outer(codes[j], x * w_B)
+            touched.append(s)
+        C *= 1 - w
+        C += (w / b) * codes.T @ codes
+        union = np.unique(np.concatenate(touched))
+        Ds = D[:, union]
+        R = B[:, union] - C @ Ds
+        norms0 = np.sum(Ds ** 2, axis=1)
+        cn = comp_norm + norms0
+        for kk in rng.permutation(k):
+            R += np.outer(C[kk], Ds[kk])
+            if C[kk, kk] > 1e-20:
+                Ds[kk] = R[kk] / C[kk, kk]
+            nr = np.sqrt(np.sum(Ds[kk] ** 2))
+            lim = np.sqrt(max(cn[kk], 0.0))
+            if nr > lim:
+                Ds[kk] *= lim / max(nr, 1e-30)
+            R -= np.outer(C[kk], Ds[kk])
+        comp_norm = cn - np.sum(Ds ** 2, axis=1)
+        D[:, union] = Ds
+    dt = time.perf_counter() - t0
+    n_batches_epoch = int(np.ceil(n_samples / batch_size))
+    return dt / RECSYS_BASELINE_SLICE * n_batches_epoch
+
+
+def bench_recsys():
+    from modl_tpu.decomposition.recsys import compute_biases
+
+    X_tr, X_te = _recsys_data()
+    Xc = X_te.copy()
+    compute_biases(Xc, beta=0.1, inplace=True)
+    bias_rmse = float(np.sqrt(np.mean(Xc.data ** 2)))
+    target = RECSYS_TARGET_FACTOR * bias_rmse
+    t_hit, rmse_best, epochs_at_hit, compile_s = bench_recsys_tpu(
+        X_tr, X_te, target)
+    base_epoch_s = bench_recsys_numpy_slice(X_tr)
+    extra = {
+        "recsys_ml10m_nnz": int(X_tr.nnz),
+        "recsys_bias_rmse": round(bias_rmse, 4),
+        "recsys_rmse_target": round(target, 4),
+        "recsys_best_rmse": round(rmse_best, 4),
+        "recsys_time_to_target_s": (round(t_hit, 2)
+                                    if t_hit is not None else None),
+        "recsys_compile_s": round(compile_s, 2),
+        "recsys_baseline_epoch_s": round(base_epoch_s, 2),
+    }
+    if t_hit is not None:
+        # the baseline runs the same math per epoch, so it reaches the
+        # target in the same number of epochs
+        extra["recsys_vs_baseline"] = round(
+            base_epoch_s * epochs_at_hit / t_hit, 2)
+    return extra
+
+
 def main():
     X = _data()
     tpu_sps = bench_tpu(X)
     base_sps = bench_numpy_baseline(X)
+    extra = {}
+    try:
+        extra.update(bench_recsys())
+    except Exception as e:                        # never break the line
+        extra["recsys_error"] = repr(e)[:200]
+    try:
+        extra["hcp1024_samples_per_s"] = round(bench_hcp1024(), 1)
+    except Exception as e:
+        extra["hcp1024_error"] = repr(e)[:200]
     print(json.dumps({
         "metric": "somf_adhd70_samples_per_s",
         "value": round(tpu_sps, 2),
         "unit": "samples/s",
         "vs_baseline": round(tpu_sps / base_sps, 2),
+        "extra": extra,
     }))
 
 
