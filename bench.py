@@ -196,13 +196,17 @@ def _recsys_data():
 
 def bench_recsys_tpu(X_tr, X_te, target):
     """Drive the engine's windowed epoch loop (the exact fit() path,
-    RecsysDictFact.fit lines 300-350) and clock RMSE after each epoch."""
+    RecsysDictFact.fit) and clock RMSE after each epoch. The training
+    matrix is packed once into device-resident padded rows
+    (recsys.py::_pad_all_rows) so epochs move only row ids to the
+    device; packing + all jit compiles are timed separately as
+    recsys_compile_s (one-time, cacheable)."""
     import jax.numpy as jnp
     from sklearn.utils import gen_batches
 
     from modl_tpu.decomposition.recsys import (
-        _masked_ridge_codes, _pad_rows, _pad_rows_window, _predict_entries,
-        _recsys_batch_step, _recsys_window, compute_biases)
+        _pad_all_rows, _predict_entries, _recsys_batch_resident,
+        _recsys_window_resident, compute_biases)
 
     X = X_tr.copy()
     row_mean, col_mean = compute_biases(X, beta=0.1, inplace=True)
@@ -233,26 +237,27 @@ def bench_recsys_tpu(X_tr, X_te, target):
         pred = np.clip(pred + te_base, 1.0, 5.0)
         return float(np.sqrt(np.mean((X_te.data - pred) ** 2)))
 
-    # compile both batch shapes once on throwaway state (pure functions;
-    # results discarded) so the timed epochs measure steady-state math.
-    # The one-time compile cost is reported separately in the JSON.
+    # one-time setup: pack the matrix device-resident and compile every
+    # batch shape an epoch will use (window, full single, tail single)
+    # on throwaway state. Reported separately in the JSON.
     t0 = time.perf_counter()
+    resident = _pad_all_rows(X, n_features, np.float32)
+    assert resident is not None, "bench data exceeds RESIDENT_BUDGET"
+    idx_all, val_all, lens_all, _ = resident
+    n_full = n_samples // batch_size
+    tail = n_samples - n_full * batch_size
     warm_rows = np.stack([np.arange(batch_size) + i * batch_size
                           for i in range(window)])
-    idx_w, val_w, lens_w, _ = _pad_rows_window(X, warm_rows, n_features,
-                                               np.float32)
     ow = np.stack([rng.permutation(k) for _ in range(window)])
-    _recsys_window(D, C, B, comp_norm, feature_n_iter, n_iter, code,
-                   jnp.asarray(warm_rows), jnp.asarray(idx_w),
-                   jnp.asarray(val_w), jnp.asarray(lens_w),
-                   jnp.asarray(ow), alpha, lr)
-    idx, val, lens, _ = _pad_rows(X, warm_rows[0], n_features, np.float32)
-    cb = _masked_ridge_codes(D, jnp.asarray(idx), jnp.asarray(val),
-                             jnp.asarray(lens), alpha)
-    _recsys_batch_step(D, C, B, comp_norm, feature_n_iter, n_iter, cb,
-                       jnp.asarray(idx), jnp.asarray(val),
-                       jnp.asarray(lens), jnp.asarray(rng.permutation(k)),
-                       lr)
+    _recsys_window_resident(D, C, B, comp_norm, feature_n_iter, n_iter,
+                            code, idx_all, val_all, lens_all,
+                            jnp.asarray(warm_rows), jnp.asarray(ow),
+                            alpha, lr)
+    for b_warm in {batch_size, tail} - {0}:
+        _recsys_batch_resident(D, C, B, comp_norm, feature_n_iter, n_iter,
+                               code, idx_all, val_all, lens_all,
+                               jnp.asarray(np.arange(b_warm)),
+                               jnp.asarray(rng.permutation(k)), alpha, lr)
     float(jnp.sum(D[0, :8]))
     compile_s = time.perf_counter() - t0
 
@@ -272,27 +277,20 @@ def bench_recsys_tpu(X_tr, X_te, target):
             if group:
                 rows_w = np.stack([permutation[bt] for bt in group])
                 orders_w = np.stack([rng.permutation(k) for _ in group])
-                idx_w, val_w, lens_w, _ = _pad_rows_window(
-                    X, rows_w, n_features, np.float32)
                 (D, C, B, comp_norm, feature_n_iter, n_iter, code) = \
-                    _recsys_window(
+                    _recsys_window_resident(
                         D, C, B, comp_norm, feature_n_iter, n_iter, code,
-                        jnp.asarray(rows_w), jnp.asarray(idx_w),
-                        jnp.asarray(val_w), jnp.asarray(lens_w),
+                        idx_all, val_all, lens_all, jnp.asarray(rows_w),
                         jnp.asarray(orders_w), alpha, lr)
                 pos += window
                 continue
             rows = permutation[batches[pos]]
             pos += 1
-            idx, val, lens, _ = _pad_rows(X, rows, n_features, np.float32)
-            idx_d, val_d = jnp.asarray(idx), jnp.asarray(val)
-            lens_d = jnp.asarray(lens)
-            code_b = _masked_ridge_codes(D, idx_d, val_d, lens_d, alpha)
-            code = code.at[jnp.asarray(rows)].set(code_b)
-            D, C, B, comp_norm, feature_n_iter, n_iter = \
-                _recsys_batch_step(D, C, B, comp_norm, feature_n_iter,
-                                   n_iter, code_b, idx_d, val_d, lens_d,
-                                   jnp.asarray(rng.permutation(k)), lr)
+            (D, C, B, comp_norm, feature_n_iter, n_iter, code) = \
+                _recsys_batch_resident(
+                    D, C, B, comp_norm, feature_n_iter, n_iter, code,
+                    idx_all, val_all, lens_all, jnp.asarray(rows),
+                    jnp.asarray(rng.permutation(k)), alpha, lr)
         float(jnp.sum(D[0, :8]) + n_iter)  # device sync
         elapsed += time.perf_counter() - t0
         r = test_rmse()

@@ -86,6 +86,30 @@ def _pad_rows(X, rows, n_features, dtype, width=None):
     return idx, val, np.minimum(lens, P).astype(np.int32), P
 
 
+# device-resident padded-CSR budget (bytes of idx+val): below this the
+# whole training matrix is packed once and batches gather on device;
+# above it (power-law data where the global max row length would inflate
+# the pad width) fit falls back to adaptive per-window host packing
+RESIDENT_BUDGET = 512 * 1024 * 1024
+
+
+def _pad_all_rows(X, n_features, dtype):
+    """Pack every CSR row once at one shared power-of-two width.
+
+    Returns ``(idx_all, val_all, lens_all, P)`` as device arrays, or
+    ``None`` when the padded size exceeds ``RESIDENT_BUDGET`` (then the
+    caller streams host-packed windows instead)."""
+    n_samples = X.shape[0]
+    max_len = int(np.diff(X.indptr).max()) if X.nnz else 1
+    P = _next_pow2(max(max_len, 1))
+    itemsize = np.dtype(dtype).itemsize
+    if n_samples * P * (4 + itemsize) > RESIDENT_BUDGET:
+        return None
+    rows = np.arange(n_samples)
+    idx, val, lens32, _ = _pad_rows(X, rows, n_features, dtype, width=P)
+    return (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(lens32), P)
+
+
 @partial(jax.jit, static_argnames=("alpha",))
 @precise
 def _masked_ridge_codes(D, idx, val, lens, alpha):
@@ -207,6 +231,40 @@ def _recsys_window(D, C, B, comp_norm, feature_n_iter, n_iter, code,
     carry, _ = lax.scan(body, carry,
                         (rows_w, idx_w, val_w, lens_w, orders_w))
     return carry
+
+
+@partial(jax.jit, static_argnames=("alpha", "learning_rate"))
+@precise
+def _recsys_window_resident(D, C, B, comp_norm, feature_n_iter, n_iter,
+                            code, idx_all, val_all, lens_all, rows_w,
+                            orders_w, alpha, learning_rate):
+    """Window scan over device-resident padded rows: the (W, b, P) batch
+    tensors are gathered from the one-time-packed (n, P) arrays on
+    device, so an epoch moves only row ids over the host link."""
+    idx_w = jnp.take(idx_all, rows_w, axis=0)
+    val_w = jnp.take(val_all, rows_w, axis=0)
+    lens_w = jnp.take(lens_all, rows_w, axis=0)
+    return _recsys_window(D, C, B, comp_norm, feature_n_iter, n_iter,
+                          code, rows_w, idx_w, val_w, lens_w, orders_w,
+                          alpha, learning_rate)
+
+
+@partial(jax.jit, static_argnames=("alpha", "learning_rate"))
+@precise
+def _recsys_batch_resident(D, C, B, comp_norm, feature_n_iter, n_iter,
+                           code, idx_all, val_all, lens_all, rows, order,
+                           alpha, learning_rate):
+    """Single-batch step against device-resident padded rows (the
+    odd-size epoch tail; at most two compiled shapes per fit)."""
+    idx = jnp.take(idx_all, rows, axis=0)
+    val = jnp.take(val_all, rows, axis=0)
+    lens = jnp.take(lens_all, rows, axis=0)
+    code_b = _masked_ridge_codes(D, idx, val, lens, alpha)
+    code = code.at[rows].set(code_b)
+    D, C, B, comp_norm, feature_n_iter, n_iter = _recsys_batch_step(
+        D, C, B, comp_norm, feature_n_iter, n_iter, code_b, idx, val,
+        lens, order, learning_rate)
+    return D, C, B, comp_norm, feature_n_iter, n_iter, code
 
 
 @jax.jit
@@ -335,6 +393,14 @@ class RecsysDictFact(BaseEstimator):
         interactive = bool(self.verbose) or (self.callback is not None)
         window = 1 if interactive else 32
 
+        # Pack the whole matrix once and gather batches on device when
+        # the padded size is moderate (uniform-ish row lengths): epochs
+        # then move only row ids over the host link and compile at most
+        # three shapes. Power-law data (global max row length >> median)
+        # keeps the adaptive per-window host packing below.
+        resident = (_pad_all_rows(X, n_features, dtype)
+                    if self.mesh is None else None)
+
         for _ in range(self.n_epochs):
             permutation = self.random_state.permutation(n_samples)
             batches = list(gen_batches(n_samples, batch_size))
@@ -350,10 +416,19 @@ class RecsysDictFact(BaseEstimator):
                     orders_w = np.stack(
                         [self.random_state.permutation(self.n_components)
                          for _ in group])
-                    idx_w, val_w, lens_w, P = _pad_rows_window(
-                        X, rows_w, n_features, dtype)
-                    (D, C, B, comp_norm, feature_n_iter, n_iter, code) = \
-                        _recsys_window(
+                    if resident is not None:
+                        idx_all, val_all, lens_all, _ = resident
+                        (D, C, B, comp_norm, feature_n_iter, n_iter,
+                         code) = _recsys_window_resident(
+                            D, C, B, comp_norm, feature_n_iter, n_iter,
+                            code, idx_all, val_all, lens_all,
+                            jnp.asarray(rows_w), jnp.asarray(orders_w),
+                            alpha, lr)
+                    else:
+                        idx_w, val_w, lens_w, P = _pad_rows_window(
+                            X, rows_w, n_features, dtype)
+                        (D, C, B, comp_norm, feature_n_iter, n_iter,
+                         code) = _recsys_window(
                             D, C, B, comp_norm, feature_n_iter, n_iter,
                             code, jnp.asarray(rows_w), jnp.asarray(idx_w),
                             jnp.asarray(val_w), jnp.asarray(lens_w),
@@ -370,18 +445,28 @@ class RecsysDictFact(BaseEstimator):
                     self._callback()
                 elif not self.verbose and self.callback is not None:
                     self._callback()  # hooks work without a print schedule
-                idx, val, lens, P = _pad_rows(X, rows, n_features, dtype)
-                idx_d = jnp.asarray(idx)
-                val_d = jnp.asarray(val)
-                lens_d = jnp.asarray(lens)
-                code_b = _masked_ridge_codes(D, idx_d, val_d, lens_d, alpha)
-                code = code.at[jnp.asarray(rows)].set(code_b)
                 order = jnp.asarray(
                     self.random_state.permutation(self.n_components))
-                D, C, B, comp_norm, feature_n_iter, n_iter = \
-                    _recsys_batch_step(D, C, B, comp_norm, feature_n_iter,
-                                       n_iter, code_b, idx_d, val_d, lens_d,
-                                       order, lr)
+                if resident is not None:
+                    idx_all, val_all, lens_all, _ = resident
+                    (D, C, B, comp_norm, feature_n_iter, n_iter,
+                     code) = _recsys_batch_resident(
+                        D, C, B, comp_norm, feature_n_iter, n_iter, code,
+                        idx_all, val_all, lens_all, jnp.asarray(rows),
+                        order, alpha, lr)
+                else:
+                    idx, val, lens, P = _pad_rows(X, rows, n_features,
+                                                  dtype)
+                    idx_d = jnp.asarray(idx)
+                    val_d = jnp.asarray(val)
+                    lens_d = jnp.asarray(lens)
+                    code_b = _masked_ridge_codes(D, idx_d, val_d, lens_d,
+                                                 alpha)
+                    code = code.at[jnp.asarray(rows)].set(code_b)
+                    D, C, B, comp_norm, feature_n_iter, n_iter = \
+                        _recsys_batch_step(
+                            D, C, B, comp_norm, feature_n_iter, n_iter,
+                            code_b, idx_d, val_d, lens_d, order, lr)
                 self._D, self._C, self._B = D, C, B
                 self._code = code
             self._D, self._C, self._B = D, C, B

@@ -126,3 +126,32 @@ def test_compute_biases_centers():
     row_m, col_m = compute_biases(Xc, inplace=True)
     # after two passes, row and column means are near zero
     assert abs(Xc.data.mean()) < 0.05
+
+
+def test_resident_path_matches_host_packed():
+    """fit() with device-resident padded rows (the default for
+    moderate-size data) must produce the same trajectory as the
+    streamed host-packed fallback (recsys.py::_pad_all_rows budget)."""
+    from modl_tpu.decomposition import recsys as R
+
+    rng = np.random.RandomState(3)
+    U = rng.rand(140, 4)
+    V = rng.rand(4, 30)
+    mask = rng.rand(140, 30) < 0.3
+    X = sp.csr_matrix(np.where(mask, U @ V, 0.0))
+
+    def run():
+        mf = RecsysDictFact(n_components=4, n_epochs=2, alpha=1e-2,
+                            batch_size=7, random_state=0)
+        mf.fit(X)
+        return mf.components_, mf.code_
+
+    D_res, code_res = run()
+    old = R.RESIDENT_BUDGET
+    R.RESIDENT_BUDGET = 0           # force the host-packed fallback
+    try:
+        D_host, code_host = run()
+    finally:
+        R.RESIDENT_BUDGET = old
+    assert_array_almost_equal(D_res, D_host, decimal=5)
+    assert_array_almost_equal(code_res, code_host, decimal=5)
