@@ -38,7 +38,8 @@ from jax import lax
 
 from ..ops.enet import enet_norm, enet_projection
 from ..ops.precision import precise
-from ..ops.sampler import draw_subset, draw_subset_sized
+from ..ops.sampler import (draw_subset, draw_subset_sized, draw_window,
+                           draw_window_sized)
 from ..ops.solvers import (enet_regression_multi_gram,
                            enet_regression_single_gram)
 from ..ops.weights import batch_weight
@@ -117,6 +118,24 @@ class SomfConfig:
     average_offload: bool = False   # per-sample EMA state lives in host RAM
     mesh: object = None             # jax.sharding.Mesh for SPMD runs
                                     # (hashable; pickling drops it)
+    windowed: bool = False          # subsets are circular windows of one
+                                    # fixed feature order (mirror-padded
+                                    # storage, no gathers); `subset`
+                                    # arguments are scalar window starts
+    n_features: int = 0             # logical feature count (windowed mode;
+                                    # stored arrays are n_features +
+                                    # len_subset wide)
+
+
+def _subset_cols(A, subset, width, windowed):
+    """Columns of A addressed by a subset: a ``dynamic_slice`` window
+    (windowed mode, ``subset`` is the scalar start; the mirror pad makes
+    circular windows contiguous) or a gather (index-array mode)."""
+    if windowed:
+        start = jnp.asarray(subset, jnp.int32)
+        return lax.dynamic_slice(A, (jnp.int32(0), start),
+                                 (A.shape[0], width))
+    return jnp.take(A, subset, axis=1)
 
 
 @precise
@@ -134,16 +153,25 @@ def _solve_code(state, X, sample_indices, w_sample, subset, cfg,
     Dx_avg, G_avg = state.Dx_avg, state.G_avg
     reduction = jnp.asarray(cfg.reduction, D.dtype)
 
+    # windowed: static window width; gather: the index array's length
+    width = ((cfg.len_max if cfg.rand_size else cfg.len_subset)
+             if cfg.windowed else subset.shape[0])
+
     if cfg.Dx_agg != 'full' or cfg.G_agg != 'full':
-        D_subset = jnp.take(D, subset, axis=1)          # (k, s)
+        D_subset = _subset_cols(D, subset, width, cfg.windowed)  # (k, s)
         if n_valid is not None:
-            valid = (jnp.arange(subset.shape[0]) < n_valid)
+            valid = (jnp.arange(width) < n_valid)
             D_subset = D_subset * valid.astype(D.dtype)[None, :]
 
     if cfg.Dx_agg == 'full':
         Dx = X @ D.T
+        if cfg.windowed:
+            # padded storage: the mirror columns [n, n+w) duplicate the
+            # head columns [0, w) - subtract their contribution
+            n_log = cfg.n_features
+            Dx = Dx - X[:, n_log:] @ D[:, n_log:].T
     else:
-        X_subset = jnp.take(X, subset, axis=1)          # (b, s)
+        X_subset = _subset_cols(X, subset, width, cfg.windowed)  # (b, s)
         Dx = (X_subset @ D_subset.T) * reduction
         if cfg.Dx_agg == 'average':
             # Dx_avg (n, k) stays device-resident even in offload mode -
@@ -239,9 +267,10 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, order, cfg,
     n_valid columns; masked columns are restored before the scatter.
     """
     k = cfg.n_components
-    s = subset.shape[0]
+    s = (cfg.len_max if cfg.rand_size else cfg.len_subset) \
+        if cfg.windowed else subset.shape[0]
     dtype = D.dtype
-    D_cols = jnp.take(D, subset, axis=1)                 # (k, s)
+    D_cols = _subset_cols(D, subset, s, cfg.windowed)    # (k, s)
     if n_valid is not None:
         valid = (jnp.arange(s) < n_valid)
         validf = valid.astype(dtype)[None, :]
@@ -339,9 +368,29 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, order, cfg,
                            precision=jax.lax.Precision.HIGHEST)
     if n_valid is not None:
         D_subset = jnp.where(valid[None, :], D_subset, D_cols)
-    D = D.at[:, subset].set(D_subset)
+    if cfg.windowed:
+        # write the window, fold any wrapped tail back into the head,
+        # and refresh the mirror so D[:, n:] == D[:, :s] again (two
+        # O(k*s) copies - never a full-width pass)
+        n_log = cfg.n_features
+        start = jnp.asarray(subset, jnp.int32)
+        zero = jnp.int32(0)
+        D = lax.dynamic_update_slice(D, D_subset, (zero, start))
+        wrapped = start + s - n_log          # columns past n (<= 0: none)
+        head = lax.slice(D, (0, 0), (k, s))
+        mirror = lax.slice(D, (0, n_log), (k, n_log + s))
+        head = jnp.where(jnp.arange(s)[None, :] < wrapped, mirror, head)
+        D = lax.dynamic_update_slice(D, head, (zero, zero))
+        D = lax.dynamic_update_slice(D, head, (zero, jnp.int32(n_log)))
+    else:
+        D = D.at[:, subset].set(D_subset)
     if cfg.G_agg == 'full' and not incremental_G:
         G = jnp.matmul(D, D.T, precision=jax.lax.Precision.HIGHEST)
+        if cfg.windowed:
+            Dm = lax.slice(D, (0, cfg.n_features),
+                           (k, D.shape[1]))     # mirror block (k, s)
+            G = G - jnp.matmul(Dm, Dm.T,
+                               precision=jax.lax.Precision.HIGHEST)
     return D, G, comp_norm
 
 
@@ -354,7 +403,7 @@ def somf_step_inner(state: SomfState, X, sample_indices, subset, order,
     """
     dtype = state.D.dtype
     b = X.shape[0]
-    n_features = state.D.shape[1]
+    n_features = cfg.n_features if cfg.windowed else state.D.shape[1]
 
     # --- step weights ---
     n_iter = state.n_iter + b
@@ -384,7 +433,10 @@ def somf_step_inner(state: SomfState, X, sample_indices, subset, order,
         B = (code_batch.T @ X) / b
 
     # --- dictionary update on the subset columns ---
-    grad_subset = jnp.take(B, subset, axis=1)
+    # (windowed: B's mirror invariant is maintained automatically - the
+    # EMA above is full-width linear in the mirror-padded X)
+    width = cfg.len_max if cfg.rand_size else cfg.len_subset
+    grad_subset = _subset_cols(B, subset, width, cfg.windowed)
     D, G, comp_norm = _update_dict(
         state.D, state.G, state.comp_norm, C, grad_subset, subset, w,
         order, cfg, n_features, n_valid=n_valid)
@@ -397,6 +449,21 @@ def somf_step_inner(state: SomfState, X, sample_indices, subset, order,
 def somf_step(state: SomfState, X, sample_indices, cfg: SomfConfig):
     """One minibatch update (dict_fact.py:495-526, serial semantics)."""
     # --- feature subset (sampler.pyx via traced cycling box) ---
+    if cfg.windowed:
+        if cfg.rand_size:
+            start, n_valid, cursor, key = draw_window_sized(
+                state.cursor, state.key, cfg.len_subset, cfg.len_max,
+                cfg.n_features, cfg.replacement)
+        else:
+            start, cursor, key = draw_window(
+                state.cursor, state.key, cfg.len_subset, cfg.n_features,
+                cfg.replacement)
+            n_valid = None
+        key, order_key = jax.random.split(key)
+        order = jax.random.permutation(order_key, cfg.n_components)
+        state = state._replace(cursor=cursor, key=key)
+        return somf_step_inner(state, X, sample_indices, start, order, cfg,
+                               n_valid=n_valid)
     if cfg.rand_size:
         subset, n_valid, box, cursor, key = draw_subset_sized(
             state.box, state.cursor, state.key, cfg.len_subset,

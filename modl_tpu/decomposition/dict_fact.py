@@ -175,7 +175,11 @@ class CodingMixin(TransformerMixin):
 
     def _components_device(self):
         if hasattr(self, '_state') and self._state is not None:
-            return self._state.D
+            D = self._state.D
+            if getattr(getattr(self, '_cfg', None), 'windowed', False):
+                # stored order -> logical feature order (drops the pad)
+                D = jnp.take(D, jnp.asarray(self._feat_inv), axis=1)
+            return D
         return jnp.asarray(self.components_)
 
 
@@ -221,6 +225,7 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
                  mesh=None,
                  code_solver='auto',
                  average_offload=False,
+                 subset_sampling='auto',
                  ):
         self.batch_size = batch_size
         self.learning_rate = learning_rate
@@ -249,6 +254,7 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         self.mesh = mesh
         self.code_solver = code_solver
         self.average_offload = average_offload
+        self.subset_sampling = subset_sampling
 
     # ------------------------------------------------------------------ #
     # state plumbing
@@ -285,6 +291,19 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
             # batched MXU matmuls. CPU keeps reference-exact CD.
             code_solver = ('fista' if jax.default_backend() != 'cpu'
                            else 'cd')
+        # Windowed subsets (ops/sampler.py::draw_window): one fixed
+        # random feature order per fit, subsets are circular windows of
+        # it -> dynamic_slice instead of gathers (TPU gathers run at
+        # ~1% of HBM bandwidth at these shapes). 'auto' engages it for
+        # resident fits (fit(), or somf_scan driving); streaming callers
+        # pay a per-batch ingestion permute, so they opt in explicitly.
+        want = getattr(self, 'subset_sampling', 'auto')
+        windowed = (want == 'window'
+                    or (want == 'auto'
+                        and getattr(self, '_resident_fit', False)))
+        windowed = (windowed and self.mesh is None
+                    and len_subset < n_features
+                    and n_features >= 2 * len_max)
         return SomfConfig(
             n_components=int(self.n_components),
             len_subset=len_subset,
@@ -308,6 +327,8 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
             use_pallas=use_pallas,
             code_solver=code_solver,
             average_offload=bool(self.average_offload),
+            windowed=windowed,
+            n_features=int(n_features) if windowed else 0,
         )
 
     def prepare(self, n_samples=None, n_features=None, dtype=None, X=None):
@@ -361,6 +382,23 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
 
         G = (D @ D.T).astype(dtype) if cfg.G_agg == 'full' else None
 
+        # windowed subsets: store D/B in the fixed random feature order
+        # (the box permutation) with a mirror pad of the window width so
+        # circular windows are contiguous (_step.py::_subset_cols)
+        width = cfg.len_max if cfg.rand_size else cfg.len_subset
+        if cfg.windowed:
+            self._feat_perm = np.asarray(box)
+            inv = np.empty(n_features, np.int64)
+            inv[self._feat_perm] = np.arange(n_features)
+            self._feat_inv = inv
+            D = jnp.take(jnp.asarray(D, dtype),
+                         jnp.asarray(self._feat_perm), axis=1)
+            D = jnp.concatenate([D, D[:, :width]], axis=1)
+            B0 = jnp.zeros((k, n_features + width), dtype)
+        else:
+            self._feat_perm = self._feat_inv = None
+            B0 = jnp.zeros((k, n_features), dtype)
+
         self._offload_fns = None
 
         def _avg_alloc(shape):
@@ -392,7 +430,7 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         self._state = SomfState(
             D=jnp.asarray(D, dtype),
             C=jnp.zeros((k, k), dtype),
-            B=jnp.zeros((k, n_features), dtype),
+            B=B0,
             G=G,
             comp_norm=jnp.zeros((k,), dtype),
             code=jnp.ones((n_samples, k), dtype),
@@ -425,7 +463,7 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
 
     @property
     def components_(self):
-        return np.asarray(self._state.D)
+        return np.asarray(self._components_device())
 
     @property
     def code_(self):
@@ -437,7 +475,10 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
 
     @property
     def B_(self):
-        return np.asarray(self._state.B)
+        B = self._state.B
+        if getattr(self._cfg, 'windowed', False):
+            B = jnp.take(B, jnp.asarray(self._feat_inv), axis=1)
+        return np.asarray(B)
 
     @property
     def G_(self):
@@ -471,13 +512,29 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         X = check_array(X, order='C', dtype=[np.float32, np.float64])
         dict_init = X if self.dict_init is None else check_array(
             self.dict_init, dtype=X.dtype.type)
-        self.prepare(n_samples=X.shape[0], X=dict_init, dtype=X.dtype)
-        X_dev = jnp.asarray(X, self._dtype)
+        # data stays device-resident for the whole fit -> the windowed
+        # sampler's one-time ingestion permute amortises (_make_config)
+        self._resident_fit = True
+        try:
+            self.prepare(n_samples=X.shape[0], X=dict_init, dtype=X.dtype)
+        finally:
+            self._resident_fit = False
+        X_dev = self._ingest_features(jnp.asarray(X, self._dtype))
         for _ in range(self.n_epochs):
-            self._partial_fit_device(X_dev, None)
+            self._partial_fit_device(X_dev, None, ingested=True)
             perm = self.shuffle()
             X_dev = apply_permutation(X_dev, jnp.asarray(perm))
         return self
+
+    def _ingest_features(self, X_dev):
+        """Windowed mode: reorder columns into the fixed feature order
+        and append the mirror pad. Identity otherwise."""
+        cfg = self._cfg
+        if not getattr(cfg, 'windowed', False):
+            return X_dev
+        width = cfg.len_max if cfg.rand_size else cfg.len_subset
+        Xp = jnp.take(X_dev, jnp.asarray(self._feat_perm), axis=1)
+        return jnp.concatenate([Xp, Xp[:, :width]], axis=1)
 
     def partial_fit(self, X, sample_indices=None):
         """Stream rows of X through the learner (dict_fact.py:313-337)."""
@@ -485,6 +542,11 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         X_dev = jnp.asarray(X, self._dtype)
         self._partial_fit_device(X_dev, sample_indices)
         return self
+
+    def _partial_fit_device(self, X_dev, sample_indices, ingested=False):
+        if not ingested:
+            X_dev = self._ingest_features(X_dev)
+        return self._partial_fit_ingested(X_dev, sample_indices)
 
     def _step_fns(self):
         """(step, scan) jitted callables; offload mode pins the EMA
@@ -499,7 +561,7 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
             self._offload_fns = (step, None)
         return self._offload_fns
 
-    def _partial_fit_device(self, X_dev, sample_indices):
+    def _partial_fit_ingested(self, X_dev, sample_indices):
         import time as _time
         t0 = _time.perf_counter()
         n = X_dev.shape[0]
@@ -598,7 +660,11 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         if G_agg == 'full' and self.G_agg != 'full':
             if hasattr(self, '_state'):
                 st = self._state
-                self._state = st._replace(G=st.D @ st.D.T)
+                Dl = st.D
+                if getattr(self._cfg, 'windowed', False):
+                    # exclude the mirror pad (the Gram is order-invariant)
+                    Dl = Dl[:, :self._n_features]
+                self._state = st._replace(G=Dl @ Dl.T)
             self.G_agg = 'full'
         elif G_agg is not None:
             self.G_agg = G_agg
@@ -632,7 +698,15 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
             self._state = st
         self._offload_fns = None  # shapes/placements may have changed
         if hasattr(self, '_n_features'):
+            old_cfg = getattr(self, '_cfg', None)
             self._cfg = self._make_config(self._n_features)
+            if (old_cfg is not None and getattr(old_cfg, 'windowed', False)
+                    and hasattr(self, '_state')):
+                # the windowed layout is baked into the live state pytree
+                import dataclasses
+                self._cfg = dataclasses.replace(
+                    self._cfg, windowed=True,
+                    n_features=old_cfg.n_features)
         return self
 
 

@@ -49,7 +49,49 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["init_sampler_state", "draw_subset", "draw_subset_sized",
-           "binomial_len_max", "Sampler"]
+           "draw_window", "binomial_len_max", "Sampler"]
+
+
+def draw_window(cursor, key, len_subset, n_features, replacement):
+    """Window-mode draw (``SomfConfig.windowed``): features live in one
+    fixed random order for the whole fit and a subset is the circular
+    window ``[start, start + len_subset)`` of that order, so subset
+    reads/writes are ``dynamic_slice``s instead of gathers (TPU gathers
+    cost ~100x HBM bandwidth at these shapes). Returns
+    ``(start, cursor', key')``.
+
+    - replacement=True: ``start ~ Uniform[0, n)`` - circularity makes
+      per-feature inclusion exactly uniform at 1/reduction.
+    - replacement=False: ``start = cursor``, advancing by ``len_subset``
+      (the reference's cycling partition, sampler.pyx:49-52, with a
+      fixed box: consecutive windows tile the feature circle).
+    """
+    k_draw, k_next = jax.random.split(key)
+    if replacement:
+        start = jax.random.randint(k_draw, (), 0, n_features, jnp.int32)
+        return start, cursor, k_next
+    start = (cursor % n_features).astype(jnp.int32)
+    new_cursor = ((cursor + len_subset) % n_features).astype(jnp.int32)
+    return start, new_cursor, k_next
+
+
+def draw_window_sized(cursor, key, len_subset, len_max, n_features,
+                      replacement):
+    """Window-mode draw with Binomial subset sizes (``rand_size=True``,
+    sampler.pyx:44-47): the window has static width ``len_max`` and only
+    the first ``m ~ Binomial(n, len_subset/n)`` columns are live (the
+    caller zero-masks the rest, exactly as in ``draw_subset_sized``).
+    Returns ``(start, m, cursor', key')``; the cycling cursor advances
+    by the *drawn* size like the reference."""
+    k_size, k_draw, k_next = jax.random.split(key, 3)
+    p = len_subset / n_features
+    m = jax.random.binomial(k_size, n=float(n_features), p=p)
+    m = jnp.clip(m.astype(jnp.int32), 1, len_max)
+    if replacement:
+        start = jax.random.randint(k_draw, (), 0, n_features, jnp.int32)
+        return start, m, cursor, k_next
+    start = (cursor % n_features).astype(jnp.int32)
+    return start, m, ((cursor + m) % n_features).astype(jnp.int32), k_next
 
 
 def binomial_len_max(n_features, len_subset):

@@ -1,0 +1,183 @@
+"""Windowed subset mode (ops/sampler.py::draw_window).
+
+In windowed mode features live in one fixed random order for the whole
+fit and subsets are circular windows of that order, so every subset
+read/write is a ``dynamic_slice`` (TPU gathers run at ~1% of HBM
+bandwidth at SOMF shapes). These tests pin:
+
+- step identity: a windowed step equals the gather-mode step on the
+  explicitly materialised window indices, for masked and full
+  aggregators, with and without wraparound, and under rand_size masks;
+- the mirror invariant D[:, n:] == D[:, :w] after arbitrary steps;
+- end-to-end: fit() engages the mode (auto, resident), reconstructs
+  planted data, reproduces bitwise across refits, and matches gather
+  mode statistically.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from modl_tpu import DictFact
+from modl_tpu.decomposition._step import (SomfState, somf_step_inner,
+                                          somf_step_jit)
+
+
+def _planted(n_samples=300, n_features=400, k=6, seed=0):
+    rng = np.random.RandomState(seed)
+    code = rng.randn(n_samples, k)
+    Q = rng.randn(k, n_features)
+    return (code @ Q).astype(np.float32)
+
+
+def _prepared(X, windowed, **kw):
+    df = DictFact(n_components=6, reduction=4, code_alpha=1e-3,
+                  code_l1_ratio=0, random_state=0, batch_size=50,
+                  n_epochs=4,
+                  subset_sampling='window' if windowed else 'gather', **kw)
+    df.prepare(n_samples=X.shape[0], X=X)
+    return df
+
+
+@pytest.mark.parametrize('agg', ['masked', 'full'])
+@pytest.mark.parametrize('start', [0, 117, 380])  # 380 + 100 wraps at 400
+def test_windowed_step_equals_gather_step(agg, start):
+    X = _planted()
+    n = X.shape[1]
+    dfw = _prepared(X, True, Dx_agg=agg, G_agg=agg, rand_size=False)
+    dfg = _prepared(X, False, Dx_agg=agg, G_agg=agg, rand_size=False)
+    cfgw, cfgg = dfw._cfg, dfg._cfg
+    assert cfgw.windowed and not cfgg.windowed
+    s = cfgw.len_subset
+
+    # same logical state for both layouts
+    perm = dfw._feat_perm
+    stw = dfw._state
+    stg = dfg._state._replace(
+        D=jnp.asarray(dfw.components_), B=dfg._state.B,
+        G=stw.G, key=stw.key)
+
+    Xb = jnp.asarray(X[:50], jnp.float32)
+    Xw = dfw._ingest_features(Xb)
+    idx = jnp.arange(50, dtype=jnp.int32)
+    order = jnp.arange(6, dtype=jnp.int32)
+
+    outw = somf_step_inner(stw, Xw, idx, jnp.asarray(start, jnp.int32),
+                           order, cfgw)
+    window_feats = jnp.asarray(perm[(start + np.arange(s)) % n],
+                               jnp.int32)
+    outg = somf_step_inner(stg, Xb, idx, window_feats, order, cfgg)
+
+    # masked windows run the identical GEMMs; 'full' computes the padded
+    # GEMM plus a mirror-correction term, so f32 summation order differs
+    rtol = 2e-5 if agg == 'masked' else 5e-4
+    D_logical = np.asarray(outw.D)[:, :n][:, dfw._feat_inv]
+    np.testing.assert_allclose(D_logical, np.asarray(outg.D),
+                               rtol=rtol, atol=rtol / 10)
+    np.testing.assert_allclose(np.asarray(outw.C), np.asarray(outg.C),
+                               rtol=rtol, atol=rtol / 100)
+    B_logical = np.asarray(outw.B)[:, :n][:, dfw._feat_inv]
+    np.testing.assert_allclose(B_logical, np.asarray(outg.B),
+                               rtol=rtol, atol=rtol)
+    # mirror invariant
+    np.testing.assert_array_equal(np.asarray(outw.D)[:, n:],
+                                  np.asarray(outw.D)[:, :s])
+    np.testing.assert_array_equal(np.asarray(outw.B)[:, n:],
+                                  np.asarray(outw.B)[:, :s])
+
+
+def test_windowed_rand_size_step_masks_tail():
+    """rand_size windows: only the first n_valid columns update."""
+    X = _planted()
+    n = X.shape[1]
+    dfw = _prepared(X, True, Dx_agg='masked', G_agg='masked',
+                    rand_size=True)
+    cfg = dfw._cfg
+    assert cfg.windowed and cfg.rand_size
+    w = cfg.len_max
+    start, n_valid = n - w // 2, w // 3          # wrapping window
+    Xb = dfw._ingest_features(jnp.asarray(X[:50], jnp.float32))
+    idx = jnp.arange(50, dtype=jnp.int32)
+    order = jnp.arange(6, dtype=jnp.int32)
+    out = somf_step_inner(dfw._state, Xb, idx,
+                          jnp.asarray(start, jnp.int32), order, cfg,
+                          n_valid=jnp.asarray(n_valid, jnp.int32))
+    D0 = np.asarray(dfw._state.D)
+    D1 = np.asarray(out.D)
+    np.testing.assert_array_equal(D1[:, n:], D1[:, :w])
+    # columns outside the live window prefix are untouched
+    live = set((start + np.arange(n_valid)) % n)
+    untouched = np.setdiff1d(np.arange(n), sorted(live))
+    np.testing.assert_array_equal(D1[:, untouched], D0[:, untouched])
+    changed = D1[:, sorted(live)] != D0[:, sorted(live)]
+    assert changed.any()
+
+
+def test_windowed_fit_reconstructs_and_reproduces():
+    X = _planted()
+    df = DictFact(n_components=6, reduction=4, code_alpha=1e-3,
+                  code_l1_ratio=0, random_state=0, batch_size=50,
+                  n_epochs=6)
+    df.fit(X)
+    assert df._cfg.windowed  # auto engages for resident fit()
+    assert df.components_.shape == (6, X.shape[1])
+    rec = df.transform(X) @ df.components_
+    err = np.sum((X - rec) ** 2) / np.sum(X ** 2)
+    assert err < 0.02
+
+    df2 = DictFact(n_components=6, reduction=4, code_alpha=1e-3,
+                   code_l1_ratio=0, random_state=0, batch_size=50,
+                   n_epochs=6)
+    df2.fit(X)
+    np.testing.assert_array_equal(df.components_, df2.components_)
+
+
+def test_windowed_matches_gather_quality_cycling():
+    """Cycling windows tile the feature circle exactly like the
+    reference partition; final quality must match gather mode."""
+    X = _planted()
+    errs = {}
+    for mode in ('window', 'gather'):
+        df = DictFact(n_components=6, reduction=4, code_alpha=1e-3,
+                      code_l1_ratio=0, random_state=0, batch_size=50,
+                      n_epochs=6, replacement=False, rand_size=False,
+                      subset_sampling=mode)
+        df.fit(X)
+        assert df._cfg.windowed == (mode == 'window')
+        rec = df.transform(X) @ df.components_
+        errs[mode] = np.sum((X - rec) ** 2) / np.sum(X ** 2)
+    assert errs['window'] < 0.02 and errs['gather'] < 0.02
+
+
+def test_windowed_streaming_partial_fit():
+    """partial_fit ingests (permute + pad) each incoming batch."""
+    X = _planted()
+    df = DictFact(n_components=6, reduction=4, code_alpha=1e-3,
+                  code_l1_ratio=0, random_state=0, batch_size=50,
+                  subset_sampling='window')
+    df.prepare(n_samples=X.shape[0], X=X)
+    assert df._cfg.windowed
+    for lo in range(0, X.shape[0], 100):
+        df.partial_fit(X[lo:lo + 100], np.arange(lo, lo + 100))
+    rec = df.transform(X) @ df.components_
+    assert np.sum((X - rec) ** 2) / np.sum(X ** 2) < 0.1
+
+
+def test_windowed_set_params_g_upgrade_keeps_layout():
+    X = _planted()
+    df = DictFact(n_components=6, reduction=4, code_alpha=1e-3,
+                  code_l1_ratio=0, random_state=0, batch_size=50,
+                  subset_sampling='window', G_agg='masked',
+                  Dx_agg='masked')
+    df.prepare(n_samples=X.shape[0], X=X)
+    df.partial_fit(X[:100], np.arange(100))
+    df.set_params(G_agg='full')
+    assert df._cfg.windowed
+    n = X.shape[1]
+    D = df.components_
+    np.testing.assert_allclose(np.asarray(df._state.G), D @ D.T,
+                               rtol=1e-4, atol=1e-5)
+    df.partial_fit(X[100:200], np.arange(100, 200))  # still runs
