@@ -301,7 +301,12 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         windowed = (want == 'window'
                     or (want == 'auto'
                         and getattr(self, '_resident_fit', False)))
-        windowed = (windowed and self.mesh is None
+        # dp-only meshes keep D/B replicated, so window slices stay
+        # local; a sharded feat axis would turn dynamic_slice into
+        # cross-device collectives -> gather mode there
+        mesh_ok = (self.mesh is None
+                   or self.mesh.shape.get('feat', 1) == 1)
+        windowed = (windowed and mesh_ok
                     and len_subset < n_features
                     and n_features >= 2 * len_max)
         return SomfConfig(

@@ -137,3 +137,31 @@ def test_pallas_kernel_under_mesh_matches_single_device():
                                    rtol=1e-5, atol=1e-6)
     finally:
         bcd_pallas.INTERPRET = old
+
+
+def test_windowed_fit_under_dp_mesh_matches_single_device():
+    """Windowed subsets stay on under dp-only meshes (D/B replicated ->
+    window slices are local); the sharded fit must reproduce the
+    single-device windowed trajectory."""
+    rng = np.random.RandomState(1)
+    code = rng.randn(256, 4)
+    Q = rng.randn(4, 400)
+    X = (code @ Q).astype(np.float32)
+
+    def run(mesh):
+        df = DictFact(n_components=4, reduction=4, code_alpha=1e-3,
+                      code_l1_ratio=0, random_state=0, batch_size=32,
+                      n_epochs=2, mesh=mesh, dtype=np.float32)
+        df.fit(X)
+        return df
+
+    df_single = run(None)
+    assert df_single._cfg.windowed
+    df_mesh = run(make_mesh(n_dp=8, n_feat=1))
+    assert df_mesh._cfg.windowed
+    np.testing.assert_allclose(df_mesh.components_, df_single.components_,
+                               rtol=1e-5, atol=1e-6)
+
+    # a feat-sharded mesh falls back to gather mode
+    df_feat = run(make_mesh(n_dp=4, n_feat=2))
+    assert not df_feat._cfg.windowed
