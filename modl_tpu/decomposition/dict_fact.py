@@ -18,6 +18,16 @@ Deviations from the reference (documented):
 - RNG is numpy (host orchestration) + threefry (traced sampler/BCD order)
   instead of MT19937: seeds give self-consistent reproducibility, not
   bit-parity with the reference.
+- ``subset_sampling='auto'`` draws subsets as circular windows of ONE
+  fixed random feature order for resident fits (``'window'`` forces it,
+  ``'gather'`` restores per-draw reshuffled subsets). Per-feature
+  inclusion stays exactly uniform at 1/reduction and cycling windows
+  tile the feature circle like the reference's partition
+  (sampler.pyx:49-52), but the reference reshuffles its box between
+  cycles while the windowed order is fixed per fit - the collection of
+  reachable subsets is n windows rather than C(n, s). Step math given
+  the subset is identical (tests/test_windowed.py); the payoff is
+  ~2x end-to-end on TPU (docs/performance.md).
 """
 import numpy as np
 
