@@ -32,11 +32,12 @@ Constraint geometries (static ``comp_l1_ratio``):
 - l2 ball (``== 0``, default for DictFact/ImageDictFact): closed-form
   norm scaling (enet.pyx:62-70);
 - l1 ball (``== 1``, the fMRI path): Newton iteration on the monotone
-  piecewise-linear KKT equation g(lam) = sum(relu(|v|-lam)) = r.
-  Started left of the root, Newton on a convex decreasing piecewise-
-  linear function converges monotonically and finitely (Condat-style);
-  NEWTON_ITERS=16 is f32-exact in practice and beats bisection's fixed
-  40-step dependent-reduction chain ~2.5x;
+  piecewise-linear KKT equation g(lam) = sum(relu(|v|-lam)) = r,
+  warm-started at the mean-shrinkage lower bound. Started left of the
+  root, Newton on a convex decreasing piecewise-linear function
+  converges monotonically and finitely (Condat-style); NEWTON_ITERS=10
+  with the warm start is f32-exact in practice and beats bisection's
+  fixed 40-step dependent-reduction chain ~4x;
 - general elastic-net (``0 < ratio < 1``): fixed-count bisection on the
   monotone KKT equation (2^-30 relative precision, pure VPU reductions).
 
@@ -47,6 +48,8 @@ handled by the block-recomputed driver there (which calls this kernel
 once per row block of the visit order).
 """
 import functools
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -67,8 +70,9 @@ FOLD = 8
 # fold only when rows are wide enough for the relayout to pay off
 FOLD_MIN_S = 2048
 
-# Newton steps for the l1-ball threshold (exact after ~6 in practice)
-NEWTON_ITERS = 16
+# Newton steps for the l1-ball threshold: warm-started at the
+# mean-shrinkage bound, ~4 suffice in practice; 10 leaves wide margin
+NEWTON_ITERS = 10
 # bisection steps for the general enet-ball threshold
 PROJ_ITERS = 30
 
@@ -113,11 +117,16 @@ def _project_rows(v, radius, l1_ratio):
         return out
 
     if l1_ratio == 1.0:
-        # Newton on g(lam) = sum(relu(b - lam)); from lam=0 (left of the
-        # root) the iteration is monotone and finitely convergent on the
-        # piecewise-linear g, so a fixed count is exact in practice.
+        # Newton on g(lam) = sum(relu(b - lam)), warm-started at the
+        # mean-shrinkage bound lam0 = (||b||_1 - r)/m: since
+        # g(lam) >= ||b||_1 - m lam, g(lam0) >= r, so lam0 sits left of
+        # the root and Newton stays monotone and finitely convergent on
+        # the piecewise-linear g (each dependent-reduction iteration in
+        # VMEM costs ~0.25 us/atom, so the warm start buys real time).
         b = jnp.abs(v)
         norm = jnp.sum(b)
+        m = float(np.prod(v.shape))
+        lam0 = jnp.maximum((norm - radius) / m, 0.0)
 
         def body(_, lam):
             t = b - lam
@@ -126,8 +135,7 @@ def _project_rows(v, radius, l1_ratio):
             n_pos = jnp.maximum(jnp.sum(pos), 1.0)
             return jnp.maximum(lam + (g - radius) / n_pos, 0.0)
 
-        lam = lax.fori_loop(0, NEWTON_ITERS, body,
-                            jnp.zeros((), jnp.float32))
+        lam = lax.fori_loop(0, NEWTON_ITERS, body, lam0)
         out = jnp.where(norm <= radius, v,
                         jnp.sign(v) * jnp.maximum(b - lam, 0.0))
         return jnp.where(radius > 0, out, jnp.zeros_like(v))
