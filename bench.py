@@ -69,16 +69,16 @@ def bench_tpu(X):
         # (block_until_ready returns early there); 4-byte transfer.
         return float(jnp.sum(s.D[0, :8]) + s.n_iter)
 
-    # two warm passes: the first compiles; the second absorbs the
-    # tunnel/driver slow-start (first executions of a fresh program run
-    # up to 3x slow on this backend)
-    for _ in range(2):
+    # warm passes: the first compiles; the rest absorb the tunnel/driver
+    # slow-start (early executions of a fresh program run up to 3x slow
+    # on this backend, and the effect can persist several executions)
+    for _ in range(4):
         state = somf_scan(state, Xb, ib, cfg)
         sync(state)
 
     epochs = max(1, STEPS_MEASURE // n_batches)
     best = float('inf')
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(epochs):
             state = somf_scan(state, Xb, ib, cfg)
