@@ -181,3 +181,24 @@ def test_windowed_set_params_g_upgrade_keeps_layout():
     np.testing.assert_allclose(np.asarray(df._state.G), D @ D.T,
                                rtol=1e-4, atol=1e-5)
     df.partial_fit(X[100:200], np.arange(100, 200))  # still runs
+
+
+@pytest.mark.parametrize('agg', ['average'])
+def test_windowed_average_aggregators(agg):
+    """The per-sample EMA estimators (Dx_agg/G_agg='average') read the
+    same windowed D/X slices as 'masked'; end-to-end quality and layout
+    invariants must hold."""
+    X = _planted()
+    df = DictFact(n_components=6, reduction=4, code_alpha=1e-3,
+                  code_l1_ratio=0, random_state=0, batch_size=50,
+                  n_epochs=6, Dx_agg=agg, G_agg=agg,
+                  subset_sampling='window')
+    df.fit(X)
+    assert df._cfg.windowed
+    n = X.shape[1]
+    s = df._cfg.len_max if df._cfg.rand_size else df._cfg.len_subset
+    D_raw = np.asarray(df._state.D)
+    np.testing.assert_array_equal(D_raw[:, n:], D_raw[:, :s])
+    rec = df.transform(X) @ df.components_
+    err = np.sum((X - rec) ** 2) / np.sum(X ** 2)
+    assert err < 0.02
