@@ -34,19 +34,22 @@ CONFIGS = [
 
 
 def run_one(name, n_features, k, batch, reduction, code_l1, comp_l1,
-            alpha, n_samples=2000, epochs=3):
+            alpha, n_samples=2000, epochs=3, sampling='window'):
     rng = np.random.RandomState(0)
     X = rng.randn(n_samples, n_features).astype(np.float32)
     df = DictFact(n_components=k, reduction=reduction, code_alpha=alpha,
                   code_l1_ratio=code_l1, comp_l1_ratio=comp_l1,
                   learning_rate=0.92, batch_size=batch, random_state=0,
-                  dtype=np.float32)
+                  dtype=np.float32, subset_sampling=sampling)
     df.prepare(n_samples=n_samples, X=X)
     nb = n_samples // batch
-    Xb = jnp.asarray(X[:nb * batch]).reshape(nb, batch, n_features)
+    Xi = df._ingest_features(jnp.asarray(X[:nb * batch]))
+    Xb = Xi.reshape(nb, batch, -1)
     ib = jnp.arange(nb * batch, dtype=jnp.int32).reshape(nb, batch)
-    state = somf_scan(df._state, Xb, ib, df._cfg)
-    sync(state.D)
+    state = df._state
+    for _ in range(3):  # compile + absorb the backend slow-start
+        state = somf_scan(state, Xb, ib, df._cfg)
+        sync(state.D)
     t0 = time.perf_counter()
     for _ in range(epochs):
         state = somf_scan(state, Xb, ib, df._cfg)
@@ -63,8 +66,10 @@ def run_one(name, n_features, k, batch, reduction, code_l1, comp_l1,
 if __name__ == '__main__':
     p = argparse.ArgumentParser()
     p.add_argument('--only', default=None)
+    p.add_argument('--sampling', default='window',
+                   choices=['window', 'gather'])
     a = p.parse_args()
     for cfg in CONFIGS:
         if a.only and cfg[0] != a.only:
             continue
-        run_one(*cfg)
+        run_one(*cfg, sampling=a.sampling)

@@ -308,7 +308,11 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         # resident fits (fit(), or somf_scan driving); streaming callers
         # pay a per-batch ingestion permute, so they opt in explicitly.
         want = getattr(self, 'subset_sampling', 'auto')
-        windowed = (want == 'window'
+        # 'window-ordered': the caller guarantees the arrival order of
+        # feature columns is already a fixed random shuffle (e.g. a
+        # pre-permuted unmask pipeline, input_data/fmri/rest.py), so
+        # windows need no ingestion permute - only the mirror pad
+        windowed = (want in ('window', 'window-ordered')
                     or (want == 'auto'
                         and getattr(self, '_resident_fit', False)))
         # dp-only meshes keep D/B replicated, so window slices stay
@@ -402,12 +406,19 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         # circular windows are contiguous (_step.py::_subset_cols)
         width = cfg.len_max if cfg.rand_size else cfg.len_subset
         if cfg.windowed:
-            self._feat_perm = np.asarray(box)
-            inv = np.empty(n_features, np.int64)
-            inv[self._feat_perm] = np.arange(n_features)
-            self._feat_inv = inv
-            D = jnp.take(jnp.asarray(D, dtype),
-                         jnp.asarray(self._feat_perm), axis=1)
+            if getattr(self, 'subset_sampling', 'auto') == 'window-ordered':
+                # arrival order is already shuffled upstream: identity
+                # permutation, zero-cost ingestion (mirror pad only)
+                self._feat_perm = np.arange(n_features)
+                self._feat_inv = self._feat_perm
+                D = jnp.asarray(D, dtype)
+            else:
+                self._feat_perm = np.asarray(box)
+                inv = np.empty(n_features, np.int64)
+                inv[self._feat_perm] = np.arange(n_features)
+                self._feat_inv = inv
+                D = jnp.take(jnp.asarray(D, dtype),
+                             jnp.asarray(self._feat_perm), axis=1)
             D = jnp.concatenate([D, D[:, :width]], axis=1)
             B0 = jnp.zeros((k, n_features + width), dtype)
         else:
@@ -548,7 +559,10 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         if not getattr(cfg, 'windowed', False):
             return X_dev
         width = cfg.len_max if cfg.rand_size else cfg.len_subset
-        Xp = jnp.take(X_dev, jnp.asarray(self._feat_perm), axis=1)
+        if getattr(self, 'subset_sampling', 'auto') == 'window-ordered':
+            Xp = X_dev          # arrival order is the window order
+        else:
+            Xp = jnp.take(X_dev, jnp.asarray(self._feat_perm), axis=1)
         return jnp.concatenate([Xp, Xp[:, :width]], axis=1)
 
     def partial_fit(self, X, sample_indices=None):

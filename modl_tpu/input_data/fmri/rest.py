@@ -32,14 +32,20 @@ def _single_mask(masker, img, dump_dir, index):
 
 
 def create_raw_rest_data(imgs, mask, dump_dir, standardize=True,
-                         detrend=True, n_jobs=1):
+                         detrend=True, n_jobs=1, feature_order=None):
     """Unmask every record into dump_dir; returns the manifest path.
 
     imgs: list of 4-D arrays / ``.npy`` paths; mask: 3-D bool array.
+    feature_order: None | int seed | permutation. When set, records are
+    stored with voxel columns in this fixed random order (saved as
+    ``feature_order.npy`` in the manifest); downstream streaming fits
+    then draw feature subsets as contiguous windows at ~2x the gather
+    throughput (fMRIDictFact detects the order automatically).
     """
     os.makedirs(dump_dir, exist_ok=True)
     masker = NumpyMasker(mask_img=mask, standardize=standardize,
-                         detrend=detrend).fit()
+                         detrend=detrend,
+                         feature_order=feature_order).fit()
     if n_jobs != 1:
         from joblib import Parallel, delayed
         results = Parallel(n_jobs=n_jobs)(
@@ -55,6 +61,10 @@ def create_raw_rest_data(imgs, mask, dump_dir, standardize=True,
         'records': [{'filename': p, 'n_frames': int(n)}
                     for p, n in results if p is not None],
     }
+    if masker.feature_order_ is not None:
+        order_path = os.path.join(dump_dir, 'feature_order.npy')
+        np.save(order_path, masker.feature_order_)
+        manifest['feature_order'] = order_path
     manifest_path = os.path.join(dump_dir, 'data.json')
     with open(manifest_path, 'w') as f:
         json.dump(manifest, f, indent=2)
@@ -65,6 +75,9 @@ def get_raw_rest_data(dump_dir):
     """Reload (masker, list of record paths) from a manifest directory."""
     with open(os.path.join(dump_dir, 'data.json')) as f:
         manifest = json.load(f)
-    masker = NumpyMasker(mask_img=np.load(manifest['mask'])).fit()
+    order = (np.load(manifest['feature_order'])
+             if 'feature_order' in manifest else None)
+    masker = NumpyMasker(mask_img=np.load(manifest['mask']),
+                         feature_order=order).fit()
     records = [r['filename'] for r in manifest['records']]
     return masker, records

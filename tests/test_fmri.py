@@ -254,3 +254,34 @@ def test_fmri_transform_parallel_matches_serial():
     assert len(serial) == len(parallel) == len(data)
     for a, b in zip(serial, parallel):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_prepermuted_pipeline_windowed_recovery(tmp_path):
+    """feature_order pipelines: records stored in a shuffled voxel
+    order, fMRIDictFact auto-switches to windowed subsets, and the
+    recovered maps land back in voxel space via the masker."""
+    data, mask, components, init = _make_dataset(n_subjects=4)
+    create_raw_rest_data(data, mask, str(tmp_path), standardize=False,
+                         detrend=False, feature_order=7)
+    masker, records = get_raw_rest_data(str(tmp_path))
+    assert masker.feature_order_ is not None
+
+    # stored records are permuted; transform of the raw file is identity
+    raw = np.load(records[0])
+    direct = masker.transform(data[0])
+    np.testing.assert_allclose(raw, direct, rtol=1e-6)
+
+    # masker round trip: inverse_transform undoes the shuffle
+    flat = components.reshape(4, -1)
+    vol = masker.inverse_transform(flat[:, masker.feature_order_])
+    np.testing.assert_allclose(np.moveaxis(vol, -1, 0), components)
+
+    dict_fact = fMRIDictFact(method='masked', n_components=4, reduction=4,
+                             batch_size=10, n_epochs=3, alpha=1e-3,
+                             mask=masker, standardize=False, detrend=False,
+                             random_state=0)
+    dict_fact.fit(records)
+    assert dict_fact.dict_fact_._cfg.windowed
+    # components_img_ is back in voxel space: compare against the truth
+    maps = np.moveaxis(dict_fact.components_img_, -1, 0).reshape(4, -1)
+    assert _recovered_maps(maps, components) >= 4
