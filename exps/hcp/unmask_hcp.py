@@ -28,6 +28,7 @@ def main(source_dir=None, n_jobs=1):
             n_subjects=4, n_frames=300, shape=(24, 24, 16),
             n_networks=32)
     manifest = create_raw_rest_data(imgs, mask, out, standardize=True,
+                                    feature_order=0,
                                     detrend=False, n_jobs=n_jobs)
     print('manifest:', manifest)
 

@@ -13,7 +13,7 @@ from modl_tpu.input_data.fmri import create_raw_rest_data
 from modl_tpu.utils.system import get_output_dir
 
 
-def main(n_jobs=1):
+def main(n_jobs=1, feature_order=0):
     out = os.path.join(get_output_dir(), 'unmasked', 'adhd')
     try:
         # capability check BEFORE any download: NIfTI unmasking needs a
@@ -30,8 +30,11 @@ def main(n_jobs=1):
         from modl_tpu.datasets.adhd import make_synthetic_rest_data
         imgs, mask, _ = make_synthetic_rest_data(
             n_subjects=8, n_frames=150, shape=(16, 16, 12))
+    # feature_order: store voxels pre-shuffled so the streaming fit
+    # runs windowed subsets (input_data/fmri/rest.py)
     manifest = create_raw_rest_data(imgs, mask, out, standardize=True,
-                                    detrend=False, n_jobs=n_jobs)
+                                    detrend=False, n_jobs=n_jobs,
+                                    feature_order=feature_order)
     print('manifest:', manifest)
 
 

@@ -54,9 +54,12 @@ class NumpyMasker(BaseEstimator):
         contiguous windows (``DictFact(subset_sampling=
         'window-ordered')``) instead of gathers - the TPU-side win is
         ~2x (docs/performance.md); the shuffle costs one host fancy
-        index at unmask time. 2-D (already-masked raw) inputs are
-        passed through unchanged: the offline pipeline stored them
-        permuted already.
+        index at unmask time.
+    raw_in_order : bool (default True). Whether already-masked 2-D
+        inputs are assumed to carry ``feature_order`` already (the
+        reload case: records the offline pipeline stored permuted).
+        ``create_raw_rest_data`` sets False so natural-order 2-D
+        records get permuted at store time.
 
     Preprocessing order in ``transform``: mask -> permute -> detrend ->
     Butterworth filter -> standardize -> confound regression.
@@ -67,8 +70,9 @@ class NumpyMasker(BaseEstimator):
                  smoothing_fwhm=None, target_affine=None,
                  target_shape=None, mask_strategy='background',
                  mask_args=None, memory=None, memory_level=1, n_jobs=1,
-                 verbose=0, feature_order=None):
+                 verbose=0, feature_order=None, raw_in_order=True):
         self.feature_order = feature_order
+        self.raw_in_order = raw_in_order
         self.mask_img = mask_img
         self.standardize = standardize
         self.detrend = detrend
@@ -119,14 +123,17 @@ class NumpyMasker(BaseEstimator):
     def transform(self, img, confounds=None):
         """(x, y, z, t) array or .npy path -> (t, n_voxels)."""
         data = _load_img(img)
-        if data.ndim == 2:  # already masked (raw path) - no mask needed;
-            # pre-permuted pipelines store raw records already ordered
+        order = getattr(self, 'feature_order_', None)
+        if data.ndim == 2:  # already masked (raw path) - no mask needed
             out = np.asarray(data, np.float64)
+            if order is not None and not getattr(self, 'raw_in_order',
+                                                 True):
+                out = out[:, order]
         else:
             self._check_fitted()
             out = data[self.mask_img_].T.astype(np.float64)
-            if getattr(self, 'feature_order_', None) is not None:
-                out = out[:, self.feature_order_]
+            if order is not None:
+                out = out[:, order]
         if self.detrend:
             # nilearn's detrend removes the mean AND the linear trend;
             # match it so both masker backends agree with

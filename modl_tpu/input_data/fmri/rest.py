@@ -44,8 +44,9 @@ def create_raw_rest_data(imgs, mask, dump_dir, standardize=True,
     """
     os.makedirs(dump_dir, exist_ok=True)
     masker = NumpyMasker(mask_img=mask, standardize=standardize,
-                         detrend=detrend,
-                         feature_order=feature_order).fit()
+                         detrend=detrend, feature_order=feature_order,
+                         raw_in_order=False).fit()  # incoming 2-D
+    # records are in natural voxel order - permute them at store time
     if n_jobs != 1:
         from joblib import Parallel, delayed
         results = Parallel(n_jobs=n_jobs)(
