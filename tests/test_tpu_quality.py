@@ -61,7 +61,7 @@ def fit(G_agg, l1_ratio, pallas):
         df = DictFact(n_components=k, reduction=2, n_epochs=3,
                       batch_size=50, code_alpha=1e-3, code_l1_ratio=0,
                       comp_l1_ratio=l1_ratio, G_agg=G_agg, Dx_agg=G_agg,
-                      random_state=0)
+                      random_state=0, subset_sampling=sampling)
         df.fit(X)
         err = float(np.sqrt(
             np.sum((X - df.transform(X) @ df.components_) ** 2) / Xnorm))
@@ -69,7 +69,9 @@ def fit(G_agg, l1_ratio, pallas):
     finally:
         bp.bcd_update, bp.supported, bp.max_block = orig
 
-# 1. aggregation-path quality (the bf16 DEFAULT-precision regression)
+sampling = 'auto'
+# 1. aggregation-path quality (the bf16 DEFAULT-precision regression);
+# fit() runs the windowed sampler (the resident-fit default)
 recon = {}
 for G_agg in ('masked', 'full'):
     err, _ = fit(G_agg, 0.0, pallas=True)
@@ -83,6 +85,17 @@ for l1r in (0.0, 1.0):
     _, obj_pal = fit('masked', l1r, pallas=True)
     parity['l1r=%s' % l1r] = abs(obj_pal - obj_lax) / abs(obj_lax)
 out['parity'] = parity
+
+# 3. windowed-vs-gather samplers reach the same objective on-device
+sampler = {}
+for l1r in (0.0, 1.0):
+    sampling = 'window'
+    _, obj_win = fit('masked', l1r, pallas=True)
+    sampling = 'gather'
+    _, obj_gat = fit('masked', l1r, pallas=True)
+    sampling = 'auto'
+    sampler['l1r=%s' % l1r] = abs(obj_win - obj_gat) / abs(obj_gat)
+out['sampler'] = sampler
 print(json.dumps(out))
 """.replace("@REPO@", REPO)
 
@@ -116,3 +129,8 @@ def test_aggregation_quality_on_device(tpu_report):
 def test_pallas_matches_lax_objective(tpu_report):
     for key, rel in tpu_report["parity"].items():
         assert rel < 1e-2, (key, rel)
+
+
+def test_windowed_matches_gather_objective(tpu_report):
+    for key, rel in tpu_report["sampler"].items():
+        assert rel < 2e-2, (key, rel)
