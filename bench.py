@@ -402,6 +402,7 @@ def bench_recsys():
         "recsys_best_rmse": round(rmse_best, 4),
         "recsys_time_to_target_s": (round(t_hit, 2)
                                     if t_hit is not None else None),
+        "recsys_epochs_to_target": epochs_at_hit,
         "recsys_compile_s": round(compile_s, 2),
         "recsys_baseline_epoch_s": round(base_epoch_s, 2),
     }
@@ -411,6 +412,35 @@ def bench_recsys():
         extra["recsys_vs_baseline"] = round(
             base_epoch_s * epochs_at_hit / t_hit, 2)
     return extra
+
+
+def bench_multicore_model(tpu_sps, extra):
+    """Modeled multi-core baseline margins (BASELINE.md's north star is
+    'vs MULTI-CORE Cython modl'; this host has 1 core, so the scaling
+    is modeled from measured per-op costs + the reference's actual
+    concurrency structure — benchmarks/baseline_audit.py docstrings and
+    docs/baseline_audit.md carry the derivation and the evidence that
+    the reference recsys engine is single-threaded by construction)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.baseline_audit import (audit_recsys, audit_somf,
+                                           recsys_multicore_model,
+                                           somf_multicore_model)
+    somf_ops = audit_somf()
+    m = somf_multicore_model(somf_ops, threads=16)
+    extra["somf_base16_sps_modeled"] = round(m['generous_sps'], 1)
+    extra["somf_vs_16thread_modeled"] = round(
+        tpu_sps / m['generous_sps'], 1)
+    extra["somf_vs_16thread_amdahl"] = round(tpu_sps / m['amdahl_sps'], 1)
+    if extra.get("recsys_time_to_target_s") and \
+            extra.get("recsys_epochs_to_target"):
+        r = recsys_multicore_model(audit_recsys(), threads=16)
+        # same math per epoch -> same epochs to target
+        extra["recsys_vs_16thread_hypothetical"] = round(
+            r['hypothetical_epoch_s'] * extra["recsys_epochs_to_target"]
+            / extra["recsys_time_to_target_s"], 2)
+        extra["recsys_reference_threading"] = "single-threaded fit loop"
 
 
 def main():
@@ -426,6 +456,10 @@ def main():
         extra["hcp1024_samples_per_s"] = round(bench_hcp1024(), 1)
     except Exception as e:
         extra["hcp1024_error"] = repr(e)[:200]
+    try:
+        bench_multicore_model(tpu_sps, extra)
+    except Exception as e:
+        extra["multicore_model_error"] = repr(e)[:200]
     print(json.dumps({
         "metric": "somf_adhd70_samples_per_s",
         "value": round(tpu_sps, 2),

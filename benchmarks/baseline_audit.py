@@ -136,12 +136,106 @@ def audit_recsys():
     return out
 
 
+def somf_multicore_model(ops, threads=16):
+    """Model the reference SOMF engine's per-batch time at T threads
+    from the measured single-core per-op costs.
+
+    The model follows the reference's actual concurrency structure
+    (/root/reference/modl/decomposition/dict_fact.py):
+
+    - the code solve is chunked over the thread pool (:614,634) and its
+      GEMMs are BLAS-threaded -> scaled 1/T;
+    - the B statistics task and the dictionary task run as TWO
+      concurrent futures (:535-543) -> max() of the two;
+    - the B GEMM is BLAS-threaded (1/T); the B EMA is a numpy
+      elementwise pass (single-threaded in the reference, but the
+      'generous' scenario grants it a 4x memory-bandwidth scale);
+    - the BCD rank-1 sweep (:674-694) is SEQUENTIAL over atoms by
+      construction (each atom's update feeds the next atom's residual);
+      `ger` is single-threaded BLAS level-2. 'amdahl' keeps it serial;
+      'generous' grants a 3x cache-blocking speedup a tuned
+      implementation might reach.
+
+    Returns per-batch ms and implied samples/s for both scenarios.
+    """
+    T = float(threads)
+    code = (ops['gather_D_subset_ms'] + ops['Dx_gemm_bxs_sxk_ms']
+            + ops['G_gemm_kxs_sxk_ms'] + ops['cho_solve_kxk_b_rhs_ms']
+            + ops['C_update_kxk_ms']) / T
+    bcd = ops['bcd_k_atoms_rank1_ms']
+    dict_task = (ops['R_init_gather_gemm_ms'] / T
+                 + ops['scatter_D_subset_ms'])
+
+    def per_batch(bcd_scale, ema_scale):
+        b_task = (ops['B_update_gemm_kxn_ms'] / T
+                  + ops['B_ema_scale_add_ms'] / ema_scale)
+        return code + max(b_task, dict_task + bcd / bcd_scale)
+
+    amdahl = per_batch(bcd_scale=1.0, ema_scale=1.0)
+    generous = per_batch(bcd_scale=3.0, ema_scale=4.0)
+    batch = 100
+    return {
+        'threads': threads,
+        'amdahl_ms_per_batch': amdahl,
+        'amdahl_sps': batch / amdahl * 1000,
+        'generous_ms_per_batch': generous,
+        'generous_sps': batch / generous * 1000,
+    }
+
+
+def recsys_multicore_model(ops, threads=16):
+    """Model a multi-core reference recsys engine.
+
+    The shipped reference engine is SINGLE-THREADED by construction:
+    `RecsysDictFact.fit` -> `_single_batch_fit` ->
+    `_single_sample_update` is a plain Python loop with small numpy
+    calls and no pool of any kind
+    (/root/reference/modl/decomposition/recsys.py:135-185 — the
+    in-source comment "# Could be made into Cython" marks it as not
+    even compiled). Moreover its per-row B EMA is ORDER-DEPENDENT
+    (feature_n_iter_ increments row by row and feeds w_B, :177-185), so
+    a row-parallel variant would change the trained model — the honest
+    multi-core comparator is the single-core measurement itself.
+
+    The hypothetical below is the most charitable semantics-preserving
+    speedup: per-row solve Grams pipelined across T cores (the solves
+    read a D that only changes between batches, so G/Dx could be
+    precomputed in parallel and the EMA applied serially), the
+    union-BCD granted a 3x cache-blocking scale even though its atom
+    loop is sequential.
+    """
+    T = float(threads)
+    rows_per_batch = 75
+    row_par = rows_per_batch * ops['row_masked_ridge_ms'] / T
+    row_ser = rows_per_batch * ops['row_B_scatter_ms']
+    bcd = ops['bcd_union_batch_ms'] / 3.0
+    per_batch = row_par + row_ser + bcd
+    n_batches_epoch = 69_878 / rows_per_batch
+    return {
+        'threads': threads,
+        'hypothetical_ms_per_batch': per_batch,
+        'hypothetical_epoch_s': per_batch * n_batches_epoch / 1000,
+        'note': 'reference engine is single-threaded; this is a '
+                'charitable semantics-preserving hypothetical',
+    }
+
+
 if __name__ == '__main__':
     import platform
+    somf = audit_somf()
+    recsys = audit_recsys()
     print(json.dumps({
         'host': {'cpus': os.cpu_count(),
                  'numpy': np.__version__,
                  'python': platform.python_version()},
-        'somf_adhd70': {k: round(v, 3) for k, v in audit_somf().items()},
-        'recsys_ml10m': {k: round(v, 3) for k, v in audit_recsys().items()},
+        'somf_adhd70': {k: round(v, 3) for k, v in somf.items()},
+        'recsys_ml10m': {k: round(v, 3) for k, v in recsys.items()},
+        'somf_16thread_model': {k: (round(v, 3) if isinstance(v, float)
+                                    else v)
+                                for k, v in
+                                somf_multicore_model(somf).items()},
+        'recsys_16thread_model': {k: (round(v, 3) if isinstance(v, float)
+                                      else v)
+                                  for k, v in
+                                  recsys_multicore_model(recsys).items()},
     }, indent=1))

@@ -208,14 +208,20 @@ def _solve_code(state, X, sample_indices, w_sample, subset, cfg,
 
     w0 = (state.code[sample_indices] if state.code is not None
           else jnp.ones(Dx.shape, Dx.dtype))
+    # windowed storage appends mirror columns that duplicate the head;
+    # the solvers only use X through y_norm2 = ||x_i||^2 (dual-gap
+    # scaling), which the duplicates would inflate by ||x[:w]||^2 and
+    # with it the stopping tolerance — slice to the logical width (a
+    # static slice XLA fuses into the norm reduction)
+    X_solver = X[:, :cfg.n_features] if cfg.windowed else X
     if cfg.G_agg == 'average':
         code = enet_regression_multi_gram(
-            w0, G, Dx, X, cfg.code_l1_ratio, cfg.code_alpha, cfg.code_pos,
-            cfg.tol, cfg.max_iter, solver=cfg.code_solver)
+            w0, G, Dx, X_solver, cfg.code_l1_ratio, cfg.code_alpha,
+            cfg.code_pos, cfg.tol, cfg.max_iter, solver=cfg.code_solver)
     else:
         code = enet_regression_single_gram(
-            w0, G, Dx, X, cfg.code_l1_ratio, cfg.code_alpha, cfg.code_pos,
-            cfg.tol, cfg.max_iter, solver=cfg.code_solver)
+            w0, G, Dx, X_solver, cfg.code_l1_ratio, cfg.code_alpha,
+            cfg.code_pos, cfg.tol, cfg.max_iter, solver=cfg.code_solver)
     return code, Dx_avg, G_avg
 
 

@@ -728,15 +728,74 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         self._offload_fns = None  # shapes/placements may have changed
         if hasattr(self, '_n_features'):
             old_cfg = getattr(self, '_cfg', None)
-            self._cfg = self._make_config(self._n_features)
-            if (old_cfg is not None and getattr(old_cfg, 'windowed', False)
-                    and hasattr(self, '_state')):
-                # the windowed layout is baked into the live state pytree
-                import dataclasses
-                self._cfg = dataclasses.replace(
-                    self._cfg, windowed=True,
-                    n_features=old_cfg.n_features)
+            new_cfg = self._make_config(self._n_features)
+            if old_cfg is not None and hasattr(self, '_state'):
+                new_cfg = self._migrate_layout(old_cfg, new_cfg)
+            self._cfg = new_cfg
+            if self.mesh is not None:
+                # mirror prepare(): the mesh rides the config (shard_map
+                # wrapping of the Pallas BCD call) and must survive
+                # mid-run rebuilds
+                from ..parallel import config_for_mesh
+                self._cfg = config_for_mesh(self._cfg, self.mesh)
         return self
+
+    def _migrate_layout(self, old_cfg, new_cfg):
+        """Reconcile the live state pytree with a rebuilt config.
+
+        The windowed layout (fixed feature order + mirror pad of the
+        window width, prepare():404-426) is baked into the stored D/B
+        arrays, but the logical state is width-invariant: the pad merely
+        duplicates the head columns. When ``set_params`` changes
+        ``reduction`` (so ``len_subset``/``len_max`` and hence the pad
+        width change — exactly what ``fMRIDictFact(method='reducing
+        ratio')`` does every epoch, reference fmri.py:531-535), the state
+        is re-ingested here: strip the old pad, re-pad at the new width.
+        If the new geometry no longer supports windows (e.g. the window
+        would cover more than half the features), fall back to gather
+        mode by restoring logical feature order."""
+        import dataclasses
+        if not old_cfg.windowed:
+            # a live non-windowed state cannot become windowed mid-run
+            # (no ingestion permute was applied to it)
+            return dataclasses.replace(new_cfg, windowed=False,
+                                       n_features=0)
+        st = self._state
+        n = self._n_features
+        old_width = (old_cfg.len_max if old_cfg.rand_size
+                     else old_cfg.len_subset)
+        new_width = (new_cfg.len_max if new_cfg.rand_size
+                     else new_cfg.len_subset)
+        # the original fit opted into windows; keep them whenever the
+        # new geometry allows (same conditions as _make_config)
+        mesh_ok = (self.mesh is None
+                   or self.mesh.shape.get('feat', 1) == 1)
+        fits = (mesh_ok and new_cfg.len_subset < n
+                and n >= 2 * new_width)
+        if fits and new_width == old_width:
+            return dataclasses.replace(new_cfg, windowed=True,
+                                       n_features=n)
+        D_log = st.D[:, :n]     # stored feature order, pad stripped
+        B_log = st.B[:, :n]
+        if fits:
+            D = jnp.concatenate([D_log, D_log[:, :new_width]], axis=1)
+            B = jnp.concatenate([B_log, B_log[:, :new_width]], axis=1)
+            self._state = st._replace(D=D, B=B)
+            return dataclasses.replace(new_cfg, windowed=True,
+                                       n_features=n)
+        import warnings
+        warnings.warn('set_params made the subset window wider than the '
+                      'windowed layout supports; falling back to gather '
+                      'subset sampling for the rest of this fit')
+        if self._feat_perm is not None and \
+                not np.array_equal(self._feat_perm,
+                                   np.arange(len(self._feat_perm))):
+            inv = jnp.asarray(self._feat_inv)
+            D_log = jnp.take(D_log, inv, axis=1)
+            B_log = jnp.take(B_log, inv, axis=1)
+        self._feat_perm = self._feat_inv = None
+        self._state = st._replace(D=D_log, B=B_log)
+        return dataclasses.replace(new_cfg, windowed=False, n_features=0)
 
 
 class Coder(CodingMixin, BaseEstimator):

@@ -136,8 +136,17 @@ def _project_rows(v, radius, l1_ratio):
             return jnp.maximum(lam + (g - radius) / n_pos, 0.0)
 
         lam = lax.fori_loop(0, NEWTON_ITERS, body, lam0)
-        out = jnp.where(norm <= radius, v,
-                        jnp.sign(v) * jnp.maximum(b - lam, 0.0))
+        w = jnp.maximum(b - lam, 0.0)
+        # Newton from the left never overshoots lam*, so the only
+        # failure mode of a capped iteration count is one-sided:
+        # lam < lam* and ||w||_1 > radius (conceivable for adversarial
+        # rows whose breakpoint count exceeds NEWTON_ITERS). A final
+        # scale guarantees feasibility — exactly a no-op at convergence
+        # — so the comp_norm budget bookkeeping can never go negative.
+        norm_w = jnp.sum(w)
+        scale = jnp.where(norm_w > radius,
+                          radius / jnp.maximum(norm_w, tiny), 1.0)
+        out = jnp.where(norm <= radius, v, jnp.sign(v) * w * scale)
         return jnp.where(radius > 0, out, jnp.zeros_like(v))
 
     gamma = 2.0 / l1_ratio - 2.0

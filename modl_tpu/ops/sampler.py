@@ -226,6 +226,13 @@ class Sampler:
     Parameters mirror ``sampler.pyx:10-39``: ``range_`` (number of
     features), ``rand_size`` (Binomial subset sizes), ``replacement``
     (reshuffle per call vs cycling partition), ``random_seed``.
+
+    The cycling state is expressed as (feature order, consumed-prefix
+    cursor) — the same formulation as the traced sampler above — rather
+    than the reference's in-place box swaps; the emitted subset
+    sequences satisfy the identical contracts (each draw is disjoint
+    from the cycle's previous draws; a partial tail at a cycle boundary
+    is served first, in order, before the refilled pool).
     """
 
     def __init__(self, range_, rand_size=True, replacement=True,
@@ -235,35 +242,34 @@ class Sampler:
         self.replacement = bool(replacement)
         self.random_state = np.random.RandomState(random_seed)
         self.box = self.random_state.permutation(self.range)
-        self.lim_sup = 0
-        self.lim_inf = 0
-        self.random_state.shuffle(self.box)
+        self.cursor = 0  # features before the cursor were already served
+
+    def _draw_size(self, reduction):
+        if self.rand_size:
+            return int(self.random_state.binomial(self.range,
+                                                  1.0 / reduction))
+        return int(self.range / reduction)
 
     def yield_subset(self, reduction):
-        if self.rand_size:
-            len_subset = self.random_state.binomial(self.range,
-                                                    1.0 / reduction)
-        else:
-            len_subset = int(self.range / reduction)
-        if self.replacement:
-            self.random_state.shuffle(self.box)
-            self.lim_inf = 0
-            self.lim_sup = len_subset
-        else:
-            if self.range != len_subset:
-                self.lim_inf = self.lim_sup
-                remainder = self.range - self.lim_inf
-                if remainder == 0:
-                    self.random_state.shuffle(self.box)
-                    self.lim_inf = 0
-                elif remainder < len_subset:
-                    temp = self.box[:remainder].copy()
-                    self.box[:remainder] = self.box[self.lim_inf:]
-                    self.box[self.lim_inf:] = temp
-                    self.random_state.shuffle(self.box[remainder:])
-                    self.lim_inf = 0
-                self.lim_sup = self.lim_inf + len_subset
-            else:
-                self.lim_inf = 0
-                self.lim_sup = self.range
-        return np.array(self.box[self.lim_inf:self.lim_sup])
+        n = self.range
+        m = self._draw_size(reduction)
+        if self.replacement or m >= n:
+            # i.i.d. draws: a fresh order every call, take its prefix
+            self.box = self.random_state.permutation(self.box)
+            self.cursor = min(m, n)
+            return self.box[:self.cursor].copy()
+        left = n - self.cursor
+        if left == 0:
+            # cycle exhausted exactly: refill with a full reshuffle
+            self.box = self.random_state.permutation(self.box)
+            self.cursor = 0
+        elif left < m:
+            # cycle boundary mid-draw: the not-yet-served tail moves to
+            # the front (order preserved) and the served part is
+            # reshuffled behind it (sampler.pyx:59-64 semantics)
+            served = self.random_state.permutation(self.box[:self.cursor])
+            self.box = np.concatenate([self.box[self.cursor:], served])
+            self.cursor = 0
+        out = self.box[self.cursor:self.cursor + m].copy()
+        self.cursor += m
+        return out

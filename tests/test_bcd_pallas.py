@@ -69,3 +69,32 @@ def test_supported_gating():
     assert bp.supported(70, 16000, np.float32, 1.0)
     assert not bp.supported(70, 16000, np.float64, 0.0)   # f64
     assert not bp.supported(1024, 16000, np.float32, 0.0)  # VMEM budget
+
+
+def test_l1_projection_feasible_on_adversarial_rows():
+    """The kernel's Newton l1 projection is capped at NEWTON_ITERS;
+    under-convergence is one-sided (lam < lam*), so the safeguard scale
+    must keep every projected row INSIDE its l1 ball — otherwise the
+    comp_norm budget bookkeeping would go negative. Spiky geometric
+    magnitude ladders maximize the breakpoint count Newton must cross."""
+    rng = np.random.RandomState(3)
+    k, s = 8, 256
+    # rows with geometrically spread magnitudes (many distinct
+    # breakpoints) and a few massive spikes
+    D = (rng.randn(k, s) * np.logspace(-6, 3, s)[None, :]).astype(
+        np.float32)
+    D[:, :4] *= 1e4
+    C = np.eye(k, dtype=np.float32)  # solve step: D_new = R_k / 1
+    R = (D * 37.0 - C @ D).astype(np.float32)  # forces a big resolve
+    cn = np.zeros(k, np.float32)
+    order = np.arange(k, dtype=np.int32)
+    Dn, cnn = bp.bcd_update(jnp.asarray(D), jnp.asarray(R),
+                            jnp.asarray(C), jnp.asarray(cn),
+                            jnp.asarray(order), comp_pos=False,
+                            l1_ratio=1.0)
+    Dn, cnn = np.asarray(Dn), np.asarray(cnn)
+    norms = np.abs(Dn).sum(axis=1)
+    # budget for every row was cn + ||D_k||_1 = ||D_k||_1
+    budgets = np.abs(D).sum(axis=1)
+    assert np.all(norms <= budgets * (1 + 1e-5))
+    assert np.all(cnn >= -1e-4 * budgets)

@@ -285,3 +285,24 @@ def test_prepermuted_pipeline_windowed_recovery(tmp_path):
     # components_img_ is back in voxel space: compare against the truth
     maps = np.moveaxis(dict_fact.components_img_, -1, 0).reshape(4, -1)
     assert _recovered_maps(maps, components) >= 4
+
+
+def test_reducing_ratio_on_prepermuted_pipeline(tmp_path):
+    """Round-2 regression: 'reducing ratio' anneals reduction via
+    set_params every epoch (reference fmri.py:531-535); on a
+    window-ordered pre-permuted pipeline this used to crash on epoch 2
+    because the windowed mirror-pad width was baked at prepare time.
+    The fit must survive >= 3 epochs and still recover the maps."""
+    data, mask, components, init = _make_dataset(n_subjects=4)
+    create_raw_rest_data(data, mask, str(tmp_path), standardize=False,
+                         detrend=False, feature_order=11)
+    masker, records = get_raw_rest_data(str(tmp_path))
+    assert masker.feature_order_ is not None
+
+    dict_fact = fMRIDictFact(method='reducing ratio', n_components=4,
+                             reduction=4, batch_size=10, n_epochs=3,
+                             alpha=1e-3, mask=masker, standardize=False,
+                             detrend=False, random_state=0)
+    dict_fact.fit(records)
+    maps = np.moveaxis(dict_fact.components_img_, -1, 0).reshape(4, -1)
+    assert _recovered_maps(maps, components) >= 4

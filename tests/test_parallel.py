@@ -165,3 +165,33 @@ def test_windowed_fit_under_dp_mesh_matches_single_device():
     # a feat-sharded mesh falls back to gather mode
     df_feat = run(make_mesh(n_dp=4, n_feat=2))
     assert not df_feat._cfg.windowed
+
+
+def test_recsys_mesh_resident_matches_single_device():
+    """RecsysDictFact(mesh=...) keeps the device-resident packed-CSR
+    path (round-2 gap: mesh runs silently fell back to per-window host
+    packing) and reproduces the single-device trajectory: SPMD is a
+    pure layout change."""
+    import scipy.sparse as sp
+
+    from modl_tpu.decomposition.recsys import (RecsysDictFact,
+                                               _pad_all_rows)
+
+    rng = np.random.RandomState(0)
+    n, m, k = 260, 40, 3
+    dense = rng.randn(n, k) @ rng.randn(k, m)
+    mask = rng.rand(n, m) < 0.35
+    Xcsr = sp.csr_matrix(np.where(mask, dense, 0.0))
+    assert _pad_all_rows(Xcsr, m, np.float64) is not None
+
+    kwargs = dict(n_components=3, alpha=1e-2, learning_rate=0.9,
+                  batch_size=8, n_epochs=2, random_state=0)
+    ref = RecsysDictFact(**kwargs).fit(Xcsr.copy())
+    mesh = make_mesh(n_dp=8, n_feat=1)
+    sharded = RecsysDictFact(mesh=mesh, **kwargs).fit(Xcsr.copy())
+
+    np.testing.assert_allclose(sharded.components_, ref.components_,
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(sharded.code_, ref.code_,
+                               rtol=1e-8, atol=1e-10)
+    assert abs(sharded.score(Xcsr) - ref.score(Xcsr)) < 1e-9

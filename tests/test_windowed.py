@@ -183,6 +183,120 @@ def test_windowed_set_params_g_upgrade_keeps_layout():
     df.partial_fit(X[100:200], np.arange(100, 200))  # still runs
 
 
+@pytest.mark.parametrize('l1_ratio', [1.0, 0.5])
+def test_windowed_l1_step_equals_gather_step(l1_ratio):
+    """code_l1_ratio > 0: the CD/FISTA dual gap scales with
+    y_norm2 = ||x||^2, which the mirror pad used to inflate — the
+    windowed step must match gather-mode codes exactly (the solver sees
+    identical norms)."""
+    X = _planted()
+    n = X.shape[1]
+    kw = dict(Dx_agg='masked', G_agg='masked', rand_size=False)
+    dfw = _prepared(X, True, **kw)
+    dfg = _prepared(X, False, **kw)
+    for df in (dfw, dfg):
+        df.code_l1_ratio = l1_ratio
+        df._cfg = dataclasses.replace(df._cfg, code_l1_ratio=l1_ratio,
+                                      code_alpha=0.1)
+    cfgw, cfgg = dfw._cfg, dfg._cfg
+    s = cfgw.len_subset
+    start = n - s // 2                      # wrapping window
+    perm = dfw._feat_perm
+    stw = dfw._state
+    stg = dfg._state._replace(D=jnp.asarray(dfw.components_), key=stw.key)
+
+    Xb = jnp.asarray(X[:50], jnp.float32)
+    Xw = dfw._ingest_features(Xb)
+    idx = jnp.arange(50, dtype=jnp.int32)
+    order = jnp.arange(6, dtype=jnp.int32)
+    outw = somf_step_inner(stw, Xw, idx, jnp.asarray(start, jnp.int32),
+                           order, cfgw)
+    window_feats = jnp.asarray(perm[(start + np.arange(s)) % n],
+                               jnp.int32)
+    outg = somf_step_inner(stg, Xb, idx, window_feats, order, cfgg)
+    np.testing.assert_allclose(np.asarray(outw.code[:50]),
+                               np.asarray(outg.code[:50]),
+                               rtol=2e-5, atol=1e-7)
+    D_logical = np.asarray(outw.D)[:, :n][:, dfw._feat_inv]
+    np.testing.assert_allclose(D_logical, np.asarray(outg.D),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_windowed_set_params_reduction_repads():
+    """The round-2 crash repro: changing ``reduction`` on a windowed
+    learner must re-ingest the mirror-pad layout at the new width (the
+    'reducing ratio' fMRI method does this every epoch)."""
+    X = _planted()
+    n = X.shape[1]
+    df = _prepared(X, True, rand_size=False)
+    df.partial_fit(X[:100], np.arange(100))
+    D_before = df.components_.copy()
+    B_before = df.B_.copy()
+    df.set_params(reduction=8)
+    assert df._cfg.windowed
+    s = df._cfg.len_subset
+    assert s == n // 8
+    D_raw = np.asarray(df._state.D)
+    assert D_raw.shape == (6, n + s)
+    np.testing.assert_array_equal(D_raw[:, n:], D_raw[:, :s])
+    # the logical state is invariant under the re-pad
+    np.testing.assert_array_equal(df.components_, D_before)
+    np.testing.assert_array_equal(df.B_, B_before)
+    df.partial_fit(X[100:200], np.arange(100, 200))  # used to raise
+    # widening within the window limit also re-pads
+    df.set_params(reduction=2)
+    assert df._cfg.windowed and df._cfg.len_subset == n // 2
+    df.partial_fit(X[200:300], np.arange(200, 300))
+    rec = df.transform(X) @ df.components_
+    assert np.sum((X - rec) ** 2) / np.sum(X ** 2) < 0.2
+
+
+def test_windowed_set_params_falls_back_to_gather():
+    """A reduction change that makes the window wider than n/2 cannot
+    keep the windowed layout: fall back to gather mode with a warning,
+    restoring logical feature order."""
+    X = _planted()
+    df = _prepared(X, True, rand_size=True)
+    assert df._cfg.windowed
+    df.partial_fit(X[:100], np.arange(100))
+    D_before = df.components_.copy()
+    with pytest.warns(UserWarning, match='falling back to gather'):
+        df.set_params(reduction=2)  # len_max = 200 + 8 std > n/2
+    assert not df._cfg.windowed
+    assert df._feat_perm is None
+    np.testing.assert_array_equal(df.components_, D_before)
+    df.partial_fit(X[100:200], np.arange(100, 200))
+    rec = df.transform(X) @ df.components_
+    assert np.isfinite(rec).all()
+
+
+def test_windowed_reduction_annealing_sequence():
+    """Simulate the fMRI 'reducing ratio' schedule end-to-end on a
+    windowed learner: every epoch shrinks reduction toward 1
+    (reference fmri.py:531-535)."""
+    X = _planted()
+    df = _prepared(X, True, rand_size=False)
+    base = 8
+    for epoch in range(4):
+        reduction = 1 + (base - 1) / np.sqrt(epoch + 1)
+        df.set_params(reduction=reduction)
+        df.partial_fit(X, np.arange(X.shape[0]))
+    rec = df.transform(X) @ df.components_
+    assert np.sum((X - rec) ** 2) / np.sum(X ** 2) < 0.05
+
+
+def test_set_params_cannot_windowize_live_gather_state():
+    """A live gather-mode state has no ingestion permute baked in, so a
+    mid-run switch to subset_sampling='window' must not flip the config
+    (it would misinterpret the unpadded arrays)."""
+    X = _planted()
+    df = _prepared(X, False)
+    df.partial_fit(X[:100], np.arange(100))
+    df.set_params(subset_sampling='window')
+    assert not df._cfg.windowed
+    df.partial_fit(X[100:200], np.arange(100, 200))
+
+
 @pytest.mark.parametrize('agg', ['average'])
 def test_windowed_average_aggregators(agg):
     """The per-sample EMA estimators (Dx_agg/G_agg='average') read the
