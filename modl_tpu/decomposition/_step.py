@@ -28,6 +28,7 @@ therefore differ from the reference in low-order digits. The parity
 oracle (tests/test_reference_parity.py) encodes the row-only semantics
 and pins it, including a comp_pos=True case.
 """
+import dataclasses
 from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple, Optional
@@ -519,10 +520,65 @@ def state_out_shardings(state, cfg):
 
 
 def make_offload_step(state, cfg):
-    # NOTE: no scan variant - XLA layout assignment rejects host-placed
-    # while-loop carries on this toolchain, so offload mode always steps
-    # per batch (dict_fact.py forces the per-batch path).
+    # Per-batch offloaded step (interactive paths). XLA layout
+    # assignment rejects host-placed while-loop carries, so the fused
+    # variant is the segmented scan below, not a plain somf_scan.
     return jax.jit(somf_step, static_argnames=("cfg",),
+                   out_shardings=state_out_shardings(state, cfg))
+
+
+def _offload_scan_body(state: SomfState, X_batches, idx_batches,
+                       cfg: SomfConfig):
+    """Segmented fused epoch for ``average_offload``.
+
+    Host-placed arrays cannot ride a ``lax.scan`` carry, so the
+    reference-memmap analog (G_average_ in host RAM,
+    dict_fact.py:431-439) used to force per-batch dispatch. Instead:
+    gather the segment's per-sample state rows to the device ONCE
+    (G_avg from pinned host over PCIe, the device-resident per-sample
+    leaves by row gather), remap the scan to segment-local sample
+    indices, run the fully fused device scan, and scatter the rows
+    back at the segment boundary. Segment size bounds the transient
+    device residency (dict_fact.py::OFFLOAD_SEG_BYTES).
+
+    Requires sample indices to be unique within the segment (each
+    global row maps to one local row); the caller checks this and
+    falls back to per-batch stepping otherwise.
+    """
+    flat = idx_batches.reshape(-1)
+    local = jnp.arange(flat.shape[0], dtype=jnp.int32).reshape(
+        idx_batches.shape)
+    seg = state._replace(
+        G_avg=_host_gather(state.G_avg, flat),
+        Dx_avg=(state.Dx_avg[flat] if state.Dx_avg is not None else None),
+        code=(state.code[flat] if state.code is not None else None),
+        sample_n_iter=state.sample_n_iter[flat])
+
+    # inside the segment every per-sample leaf (G_avg included) is
+    # device-resident, so the step must take the plain device indexing
+    # path — average_offload only describes the OUTER state layout
+    cfg_inner = dataclasses.replace(cfg, average_offload=False)
+
+    def body(carry, inp):
+        Xb, idxb = inp
+        return somf_step(carry, Xb, idxb, cfg_inner), None
+
+    out, _ = lax.scan(body, seg, (X_batches, local))
+    return state._replace(
+        D=out.D, C=out.C, B=out.B, G=out.G, comp_norm=out.comp_norm,
+        n_iter=out.n_iter, box=out.box, cursor=out.cursor, key=out.key,
+        G_avg=_host_scatter_set(state.G_avg, flat, out.G_avg),
+        Dx_avg=(state.Dx_avg.at[flat].set(out.Dx_avg)
+                if state.Dx_avg is not None else None),
+        code=(state.code.at[flat].set(out.code)
+              if state.code is not None else None),
+        sample_n_iter=state.sample_n_iter.at[flat].set(
+            out.sample_n_iter))
+
+
+def make_offload_scan(state, cfg):
+    """Jitted segmented scan with the G_avg output pinned to host."""
+    return jax.jit(_offload_scan_body, static_argnames=("cfg",),
                    out_shardings=state_out_shardings(state, cfg))
 
 

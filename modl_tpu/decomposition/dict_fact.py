@@ -44,6 +44,10 @@ from ._step import (SomfConfig, SomfState, apply_permutation, compute_code,
 
 MAX_INT = np.iinfo(np.int32).max
 
+# transient device residency budget for the segmented offload scan:
+# one segment gathers (seg * batch_size, k, k) G_avg rows to HBM
+OFFLOAD_SEG_BYTES = 512 * 1024 * 1024
+
 
 def _default_dtype(dtype):
     """Map requested dtype through JAX's x64 policy."""
@@ -583,11 +587,12 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         if not self._cfg.average_offload:
             return somf_step_jit, somf_scan
         if getattr(self, '_offload_fns', None) is None:
-            from ._step import make_offload_step
+            from ._step import make_offload_scan, make_offload_step
             step = make_offload_step(self._state, self._cfg)
-            # offload always steps per batch (host-placed scan carries
-            # fail XLA layout assignment); no scan variant exists
-            self._offload_fns = (step, None)
+            # fused variant: segmented scan exchanging G_avg rows at
+            # segment boundaries (host arrays can't ride scan carries)
+            scan = make_offload_scan(self._state, self._cfg)
+            self._offload_fns = (step, scan)
         return self._offload_fns
 
     def _partial_fit_ingested(self, X_dev, sample_indices):
@@ -608,10 +613,17 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
             from ..parallel import shard_batch, shard_batches, shard_indices
 
         interactive = bool(self.verbose) or (self.callback is not None)
-        # host-offloaded state cannot ride a lax.scan carry (XLA layout
-        # assignment rejects host-placed while-loop carries on this
-        # toolchain) -> per-batch stepping
-        interactive = interactive or cfg.average_offload
+        # the segmented offload scan maps each global sample row to one
+        # local row, so it needs unique indices within the call;
+        # duplicated indices (unusual) fall back to per-batch stepping
+        if cfg.average_offload and not interactive:
+            if sample_indices is None or isinstance(sample_indices,
+                                                    slice):
+                unique = True
+            else:
+                si = np.asarray(sample_indices)
+                unique = len(np.unique(si)) == len(si)
+            interactive = not unique
         n_full = n // b
         if interactive:
             for batch in gen_batches(n, b):
@@ -632,7 +644,34 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
                 step_fn, _ = self._step_fns()
                 self._state = step_fn(self._state, Xi, ii, cfg)
         else:
-            if n_full > 0:
+            if n_full > 0 and cfg.average_offload:
+                # segmented fused scan: G_avg rows for SEG batches are
+                # exchanged with host RAM at segment boundaries; the
+                # scan itself is all-device (see _step.py's
+                # _offload_scan_body). SEG bounds the transient device
+                # residency of the gathered (seg*b, k, k) block.
+                k2 = (self.n_components ** 2
+                      * np.dtype(self._dtype).itemsize)
+                seg = max(1, int(OFFLOAD_SEG_BYTES // max(b * k2, 1)))
+                # a segment larger than the call covers it exactly once
+                seg = min(seg, n_full)
+                _, scan_fn = self._step_fns()
+                n_seg_full = n_full // seg
+                for s in range(n_seg_full):
+                    lo = s * seg * b
+                    hi = lo + seg * b
+                    Xs = X_dev[lo:hi].reshape(seg, b, -1)
+                    ibs = idx[lo:hi].reshape(seg, b)
+                    self._state = scan_fn(self._state, Xs, ibs, cfg)
+                # leftover full batches run per-batch (one extra
+                # compiled shape instead of a tail-segment scan)
+                step_fn, _ = self._step_fns()
+                for s in range(n_seg_full * seg, n_full):
+                    lo = s * b
+                    self._state = step_fn(self._state,
+                                          X_dev[lo:lo + b],
+                                          idx[lo:lo + b], cfg)
+            elif n_full > 0:
                 Xb = X_dev[:n_full * b].reshape(n_full, b, -1)
                 ib = idx[:n_full * b].reshape(n_full, b)
                 if self.mesh is not None:

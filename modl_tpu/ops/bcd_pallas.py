@@ -72,9 +72,14 @@ FOLD_MIN_S = 2048
 
 # Newton steps for the l1-ball threshold: warm-started at the
 # mean-shrinkage bound, ~4 suffice in practice; 10 leaves wide margin
+# (under-convergence is made feasible by the safeguard scale below)
 NEWTON_ITERS = 10
 # bisection steps for the general enet-ball threshold
 PROJ_ITERS = 30
+# unroll factor of the kernel's atom loop (the loop is sequential
+# through R, but unrolling lets Mosaic pipeline the independent
+# per-atom extraction ops across consecutive atoms)
+UNROLL = 1
 
 
 def supported(k, s, dtype, comp_l1_ratio):
@@ -190,17 +195,21 @@ def _kernel(C_rep_ref, Cd_ref, T_ref, D_in, R_in, cn_in, D_out, R_out,
         # Mosaic; a small MXU matvec is ~free at block sizes), repeated
         # fold-fold so it broadcasts over the folded row groups
         onehot = (row_ids == j).astype(jnp.float32)       # (k, 1)
-        # DEFAULT (bf16-input) dots: these only select/tile through
-        # exact 0/1 matrices, so the only loss is bf16 rounding of the
-        # C column / delta row feeding the rank-1 residual update -
-        # the same noise class as the block residual's own DEFAULT
-        # GEMM recompute, and ~6x cheaper than HIGHEST in Mosaic
-        # (0.79 vs 1.94 ms/block on v5e). Objective-trajectory parity
-        # vs the exact lax path is pinned on-device by
-        # tests/test_tpu_quality.py (measured rel diff <= 1.4e-3 over
-        # masked/full x l2/l1-ball planted-data fits).
+        # DEFAULT (bf16-input) dots, pinned explicitly: these only
+        # select/tile through exact 0/1 matrices, so the only loss is
+        # bf16 rounding of the C column / delta row feeding the rank-1
+        # residual update - the same noise class as the block
+        # residual's own DEFAULT GEMM recompute, and ~6x cheaper than
+        # HIGHEST in Mosaic (0.79 vs 1.94 ms/block on v5e). Objective-
+        # trajectory parity vs the exact lax path is pinned on-device
+        # by tests/test_tpu_quality.py (measured rel diff <= 1.4e-3
+        # over masked/full x l2/l1-ball planted-data fits). Pinning
+        # also keeps the kernel lowerable when a caller traces it under
+        # jax.default_matmul_precision('high') (the ops.precision
+        # context): Mosaic has no lowering for HIGH dots.
         Ck = jnp.dot(C_rep_ref[:], onehot,
-                     preferred_element_type=jnp.float32)  # (fold*k, 1)
+                     preferred_element_type=jnp.float32,
+                     precision=lax.Precision.DEFAULT)     # (fold*k, 1)
         Ckk = jnp.sum(Cd_ref[pl.ds(j, 1), :])
         # the post-"re-add own contribution" residual row is derivable
         # from the maintained residual without materialising it:
@@ -221,12 +230,13 @@ def _kernel(C_rep_ref, Cd_ref, T_ref, D_in, R_in, cn_in, D_out, R_out,
             R_out[:] = R_out[:] - Ck * delta
         else:
             delta_t = jnp.dot(T_ref[:], delta,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=lax.Precision.DEFAULT)
             R_out[:] = R_out[:] - Ck * delta_t
         D_out[pl.ds(fold * j, fold), :] = Dk_new
         return carry
 
-    lax.fori_loop(0, k, body, 0)
+    lax.fori_loop(0, k, body, 0, unroll=UNROLL if UNROLL > 1 else None)
 
 
 @functools.partial(jax.jit,

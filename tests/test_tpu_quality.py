@@ -96,6 +96,38 @@ for l1r in (0.0, 1.0):
     sampling = 'auto'
     sampler['l1r=%s' % l1r] = abs(obj_win - obj_gat) / abs(obj_gat)
 out['sampler'] = sampler
+
+# 4. segmented offload scan: trajectory equality with the resident
+# 'average' path, and speedup over per-batch offloaded stepping
+import time as _time
+import jax.numpy as jnp
+from modl_tpu.decomposition import dict_fact as _df_mod
+avg_kwargs = dict(n_components=k, reduction=2, n_epochs=2,
+                  batch_size=50, code_alpha=1e-3, code_l1_ratio=0,
+                  Dx_agg='average', G_agg='average', random_state=0)
+jax.clear_caches()
+ref = DictFact(**avg_kwargs).fit(X)
+jax.clear_caches()
+off = DictFact(average_offload=True, **avg_kwargs).fit(X)
+out['offload_max_dev'] = float(
+    np.max(np.abs(off.components_ - ref.components_)))
+
+def offload_epoch_time(seg_bytes):
+    _df_mod.OFFLOAD_SEG_BYTES = seg_bytes
+    df = DictFact(average_offload=True, **avg_kwargs)
+    df.prepare(n_samples=n, X=X)
+    Xd = df._ingest_features(jnp.asarray(X, df._dtype))
+    df._partial_fit_device(Xd, None, ingested=True)  # compile + warm
+    float(jnp.sum(df._state.D[0, :8]))
+    t0 = _time.perf_counter()
+    df._partial_fit_device(Xd, None, ingested=True)
+    float(jnp.sum(df._state.D[0, :8]))
+    return _time.perf_counter() - t0
+
+seg_t = offload_epoch_time(512 * 1024 * 1024)
+batch_t = offload_epoch_time(1)     # 1-batch segments ~ per-batch mode
+_df_mod.OFFLOAD_SEG_BYTES = 512 * 1024 * 1024
+out['offload_speedup'] = batch_t / seg_t
 print(json.dumps(out))
 """.replace("@REPO@", REPO)
 
@@ -134,3 +166,12 @@ def test_pallas_matches_lax_objective(tpu_report):
 def test_windowed_matches_gather_objective(tpu_report):
     for key, rel in tpu_report["sampler"].items():
         assert rel < 2e-2, (key, rel)
+
+
+def test_offload_scan_matches_and_speeds_up(tpu_report):
+    """The segmented offload scan must match the HBM-resident
+    'average' trajectory and clearly beat per-batch stepping."""
+    assert tpu_report["offload_max_dev"] <= 1e-5, \
+        tpu_report["offload_max_dev"]
+    assert tpu_report["offload_speedup"] >= 3.0, \
+        tpu_report["offload_speedup"]
