@@ -60,6 +60,11 @@ class NumpyMasker(BaseEstimator):
         reload case: records the offline pipeline stored permuted).
         ``create_raw_rest_data`` sets False so natural-order 2-D
         records get permuted at store time.
+    dtype : 'auto' (default) | numpy dtype. Computation/output dtype of
+        ``transform``. 'auto' keeps float64 inputs at float64 (the
+        reference masker's precision) and everything else at float32 —
+        on a float32 pipeline this halves the host preprocessing
+        traffic and the host->device transfer volume.
 
     Preprocessing order in ``transform``: mask -> permute -> detrend ->
     Butterworth filter -> standardize -> confound regression.
@@ -70,9 +75,11 @@ class NumpyMasker(BaseEstimator):
                  smoothing_fwhm=None, target_affine=None,
                  target_shape=None, mask_strategy='background',
                  mask_args=None, memory=None, memory_level=1, n_jobs=1,
-                 verbose=0, feature_order=None, raw_in_order=True):
+                 verbose=0, feature_order=None, raw_in_order=True,
+                 dtype='auto'):
         self.feature_order = feature_order
         self.raw_in_order = raw_in_order
+        self.dtype = dtype
         self.mask_img = mask_img
         self.standardize = standardize
         self.detrend = detrend
@@ -120,18 +127,46 @@ class NumpyMasker(BaseEstimator):
         if not hasattr(self, 'mask_img_'):
             raise ValueError('NumpyMasker is not fitted')
 
+    def _work_dtype(self, in_dtype):
+        d = getattr(self, 'dtype', 'auto')
+        if d in (None, 'auto'):
+            return (np.float64 if np.dtype(in_dtype) == np.float64
+                    else np.float32)
+        return np.dtype(d)
+
+    def transform_raw(self, img):
+        """Mask + feature-order only — no temporal preprocessing, no
+        dtype copy. The detrend/standardize stages can then run fused
+        on the accelerator over the transferred record
+        (decomposition/fmri.py::_clean_device); on the pre-cleaned raw
+        pipeline (rest.py stores records already detrended) this makes
+        record loading a zero-copy mmap handoff."""
+        data = _load_img(img)
+        order = getattr(self, 'feature_order_', None)
+        if data.ndim == 2:
+            if order is not None and not getattr(self, 'raw_in_order',
+                                                 True):
+                return np.asarray(data)[:, order]
+            return data
+        self._check_fitted()
+        out = data[self.mask_img_].T
+        if order is not None:
+            out = out[:, order]
+        return out
+
     def transform(self, img, confounds=None):
         """(x, y, z, t) array or .npy path -> (t, n_voxels)."""
         data = _load_img(img)
         order = getattr(self, 'feature_order_', None)
+        dt = self._work_dtype(data.dtype)
         if data.ndim == 2:  # already masked (raw path) - no mask needed
-            out = np.asarray(data, np.float64)
+            out = np.asarray(data, dt)
             if order is not None and not getattr(self, 'raw_in_order',
                                                  True):
                 out = out[:, order]
         else:
             self._check_fitted()
-            out = data[self.mask_img_].T.astype(np.float64)
+            out = data[self.mask_img_].T.astype(dt)
             if order is not None:
                 out = out[:, order]
         if self.detrend:
@@ -139,7 +174,7 @@ class NumpyMasker(BaseEstimator):
             # match it so both masker backends agree with
             # standardize=False.
             out = out - out.mean(0)
-            t = np.arange(out.shape[0], dtype=np.float64)
+            t = np.arange(out.shape[0], dtype=dt)
             t = (t - t.mean())
             denom = np.sum(t * t)
             if denom > 0:
@@ -147,14 +182,14 @@ class NumpyMasker(BaseEstimator):
                 out = out - np.outer(t, slope)
         if self.low_pass is not None or self.high_pass is not None:
             out = _butterworth(out, self.t_r, self.low_pass,
-                               self.high_pass)
+                               self.high_pass).astype(dt, copy=False)
         if self.standardize:
             out = out - out.mean(axis=0)
             std = out.std(axis=0)
             std[std == 0] = 1
             out = out / std
         if confounds is not None:
-            conf = np.asarray(confounds, np.float64)
+            conf = np.asarray(confounds, dt)
             conf = conf - conf.mean(0)
             coef, *_ = np.linalg.lstsq(conf, out, rcond=None)
             out = out - conf @ coef

@@ -17,12 +17,12 @@ from .base import NumpyMasker
 __all__ = ["create_raw_rest_data", "get_raw_rest_data"]
 
 
-def _single_mask(masker, img, dump_dir, index):
+def _single_mask(masker, img, dump_dir, index, dtype=np.float32):
     name = 'record_%i' % index
     try:
         data = masker.transform(img)
         path = os.path.join(dump_dir, name + '.npy')
-        np.save(path, np.asarray(data, np.float32))
+        np.save(path, np.asarray(data, dtype))
         return path, data.shape[0]
     except Exception:
         err_path = os.path.join(dump_dir, name + '-error')
@@ -32,7 +32,8 @@ def _single_mask(masker, img, dump_dir, index):
 
 
 def create_raw_rest_data(imgs, mask, dump_dir, standardize=True,
-                         detrend=True, n_jobs=1, feature_order=None):
+                         detrend=True, n_jobs=1, feature_order=None,
+                         dtype=np.float32):
     """Unmask every record into dump_dir; returns the manifest path.
 
     imgs: list of 4-D arrays / ``.npy`` paths; mask: 3-D bool array.
@@ -41,6 +42,10 @@ def create_raw_rest_data(imgs, mask, dump_dir, standardize=True,
     ``feature_order.npy`` in the manifest); downstream streaming fits
     then draw feature subsets as contiguous windows at ~2x the gather
     throughput (fMRIDictFact detects the order automatically).
+    dtype: storage dtype of the records (default float32; float16
+    halves disk + host->device transfer volume — streaming fits cast
+    records to float32 on the device, so only the input quantisation
+    changes, ~1e-3 relative on data whose physiological noise is ~1%).
     """
     os.makedirs(dump_dir, exist_ok=True)
     masker = NumpyMasker(mask_img=mask, standardize=standardize,
@@ -50,10 +55,10 @@ def create_raw_rest_data(imgs, mask, dump_dir, standardize=True,
     if n_jobs != 1:
         from joblib import Parallel, delayed
         results = Parallel(n_jobs=n_jobs)(
-            delayed(_single_mask)(masker, img, dump_dir, i)
+            delayed(_single_mask)(masker, img, dump_dir, i, dtype)
             for i, img in enumerate(imgs))
     else:
-        results = [_single_mask(masker, img, dump_dir, i)
+        results = [_single_mask(masker, img, dump_dir, i, dtype)
                    for i, img in enumerate(imgs)]
 
     np.save(os.path.join(dump_dir, 'mask.npy'), masker.mask_img_)

@@ -44,6 +44,14 @@ class MultiRawMasker(BaseEstimator):
         # applies detrend/standardize/confounds uniformly
         return self._backing.transform(data, confounds=confounds)
 
+    def transform_raw(self, imgs):
+        """Mask-only load (see NumpyMasker.transform_raw)."""
+        if isinstance(imgs, str) and imgs.endswith('.npy'):
+            data = np.load(imgs, mmap_mode='r')
+        else:
+            data = np.asarray(imgs)
+        return self._backing.transform_raw(data)
+
     def inverse_transform(self, components):
         if self.mask_img is None:
             raise ValueError('inverse_transform requires a mask')

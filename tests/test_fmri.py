@@ -306,3 +306,47 @@ def test_reducing_ratio_on_prepermuted_pipeline(tmp_path):
     dict_fact.fit(records)
     maps = np.moveaxis(dict_fact.components_img_, -1, 0).reshape(4, -1)
     assert _recovered_maps(maps, components) >= 4
+
+
+def test_device_clean_matches_host_masker():
+    """_clean_device (fused on-device detrend+standardize) must equal
+    the NumpyMasker host preprocessing stage-for-stage."""
+    import jax.numpy as jnp
+
+    from modl_tpu.decomposition.fmri import _clean_device
+
+    rng = np.random.RandomState(0)
+    raw = rng.randn(50, 201) * 3 + rng.randn(1, 201)
+    for detrend in (False, True):
+        for standardize in (False, True):
+            m = NumpyMasker(mask_img=np.ones((201, 1, 1), bool),
+                            detrend=detrend, standardize=standardize).fit()
+            host = m.transform(raw)
+            dev = np.asarray(_clean_device(jnp.asarray(raw), detrend,
+                                           standardize, np.float64))
+            np.testing.assert_allclose(dev, host, rtol=1e-10, atol=1e-12)
+
+
+def test_fmri_raw_device_path_matches_host_path():
+    """The raw fast path (mask-only host load + device-fused
+    detrend/standardize) must reproduce the host-preprocessed fit."""
+    from modl_tpu.input_data.fmri.base import NumpyMasker as NM
+
+    class HostOnlyMasker(NM):
+        # hide transform_raw so the driver takes the host path
+        transform_raw = property()
+
+    data, mask, components, init = _make_dataset(n_subjects=4)
+    out = {}
+    for name, mask_arg in (('raw', mask),
+                           ('host', HostOnlyMasker(mask_img=mask,
+                                                   standardize=True,
+                                                   detrend=True).fit())):
+        fd = fMRIDictFact(method='masked', n_components=4, reduction=2,
+                          batch_size=10, n_epochs=2, alpha=1e-3,
+                          mask=mask_arg, standardize=True, detrend=True,
+                          random_state=0)
+        fd.fit(data)
+        out[name] = fd.components_
+    np.testing.assert_allclose(out['raw'], out['host'],
+                               rtol=1e-7, atol=1e-9)
