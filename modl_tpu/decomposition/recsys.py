@@ -134,51 +134,125 @@ def _masked_ridge_codes(D, idx, val, lens, alpha):
     return jnp.where((lens > 0)[:, None], code, 0.0)
 
 
-@partial(jax.jit, static_argnames=("learning_rate",))
+@partial(jax.jit, static_argnames=("learning_rate", "use_pallas"))
 @precise
 def _recsys_batch_step(D, C, B, comp_norm, feature_n_iter, n_iter, code_b,
-                       idx, val, lens, order, learning_rate):
+                       idx, val, lens, order, learning_rate,
+                       use_pallas=False):
     """One batch update after the codes are solved. Returns new state.
 
-    Sequential per-row B/feature_n_iter updates (recsys.py:157-185) run
-    as lax.scan; C EMA + masked full-width BCD follow (recsys.py:159-213).
+    The reference walks batch rows sequentially because its per-feature
+    B EMA is order-dependent (recsys.py:157-185): row j's weight
+    ``w_B = min(1, w n_iter / fni_c)`` uses the visit count *after* its
+    own increment, and later rows touching the same column decay
+    earlier rows' contributions. Here the identical serial semantics
+    are evaluated in closed form over all batch entries at once:
+
+        B[:, c] <- B[:, c] * prod_j q_j
+                   + sum_j (w_j code_j x_j) * prod_{l > j} q_l,
+        q_j = 1 - w_j,
+
+    with j running over the column's batch entries in row order. The
+    per-entry ranks come from one (col, row) lexicographic sort, the
+    suffix products from a segmented associative scan, and the final
+    update is a single (k, b) x (b, n) MXU GEMM plus a per-column
+    scale — no sequential scan (exactness pinned by
+    tests/test_recsys_parity.py against the serial numpy oracle).
+
+    C EMA + masked full-width BCD on the union of supports follow
+    (recsys.py:159-213); on TPU/f32 the BCD runs in the VMEM-resident
+    Pallas kernel (``use_pallas``, decided by the estimator: n fits the
+    kernel budget at recsys widths).
     """
     k, n = D.shape
-    b = idx.shape[0]
+    b, P = idx.shape
     dtype = D.dtype
     n_iter_new = n_iter + b
     w = jnp.asarray(batch_weight(n_iter_new, b, learning_rate, 0.0,
                                  dtype=dtype), dtype)
 
-    # --- sequential per-row scatter-EMA of B + feature visit counts ---
-    def row_body(carry, inp):
-        B, fni = carry
-        idx_i, val_i, code_i, len_i = inp
-        mask_i = jnp.arange(idx_i.shape[0]) < len_i
-        fni = fni.at[idx_i].add(mask_i.astype(fni.dtype), mode='drop')
-        counts = jnp.take(fni, idx_i, fill_value=1)
-        w_B = jnp.minimum(1.0, w * n_iter_new / jnp.maximum(counts, 1)
-                          ).astype(dtype)
-        Bcols = jnp.take(B, idx_i, axis=1, fill_value=0.0)  # (k, P)
-        newB = Bcols * (1.0 - w_B)[None, :] + jnp.outer(code_i, val_i * w_B)
-        newB = jnp.where(mask_i[None, :], newB, Bcols)
-        B = B.at[:, idx_i].set(newB, mode='drop')
-        return (B, fni), None
+    # --- flatten batch entries (one per stored (row, col)) ---
+    rows_e = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None],
+                              (b, P)).reshape(-1)
+    cols_e = idx.reshape(-1).astype(jnp.int32)          # pad index == n
+    vals_e = val.reshape(-1)
+    valid_e = (jnp.arange(P, dtype=jnp.int32)[None, :]
+               < lens[:, None]).reshape(-1)
+    cols_key = jnp.where(valid_e, cols_e, jnp.int32(n + 1))
 
-    (B, feature_n_iter), _ = lax.scan(
-        row_body, (B, feature_n_iter), (idx, val, code_b, lens))
+    # sort by (col, row): each column's entries land contiguous, in row
+    # order — exactly the serial visit order
+    c_s, r_s, v_s, valid_s = lax.sort(
+        (cols_key, rows_e, vals_e, valid_e.astype(jnp.int32)), num_keys=2)
+    valid_s = valid_s.astype(bool)
+    m = c_s.shape[0]
+    pos = jnp.arange(m, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), c_s[1:] != c_s[:-1]])
+    start_pos = lax.cummax(jnp.where(is_start, pos, 0))
+    rank = pos - start_pos                              # row-order rank
+
+    # post-increment visit count -> per-entry EMA weight
+    fni_ext = jnp.concatenate(
+        [feature_n_iter, jnp.zeros((2,), feature_n_iter.dtype)])
+    count = jnp.take(fni_ext, c_s) + rank + 1
+    w_e = jnp.minimum(1.0, w * n_iter_new.astype(dtype)
+                      / jnp.maximum(count, 1).astype(dtype))
+    w_e = jnp.where(valid_s, w_e, 0.0).astype(dtype)
+    q = 1.0 - w_e
+
+    # exclusive suffix product of q within each column segment
+    # (segmented scan over the reversed array; flags mark segment heads
+    # of the reversed order = segment ends of the original)
+    is_end = jnp.concatenate([c_s[1:] != c_s[:-1],
+                              jnp.ones((1,), bool)])
+    qr, fr = q[::-1], is_end[::-1]
+
+    def comb(a, bb):
+        va, fa = a
+        vb, fb = bb
+        return jnp.where(fb, vb, va * vb), fa | fb
+
+    incl_r, _ = lax.associative_scan(comb, (qr, fr))
+    excl_r = jnp.where(fr, jnp.asarray(1.0, dtype),
+                       jnp.concatenate([jnp.ones((1,), dtype),
+                                        incl_r[:-1]]))
+    S = excl_r[::-1]                                    # (m,)
+
+    # per-column total decay (full product = S * q at the rank-0 entry)
+    colscale = jnp.ones((n + 2,), dtype).at[
+        jnp.where(is_start, c_s, jnp.int32(n + 1))].set(
+        jnp.where(is_start, S * q, 1.0))
+    # per-entry contributions -> dense (b, n) -> one MXU GEMM
+    contrib = jnp.where(valid_s, w_e * v_s * S, 0.0)
+    M = jnp.zeros((b, n + 2), dtype).at[r_s, c_s].add(contrib)
+    B = B * colscale[None, :n] + code_b.T @ M[:, :n]
+    feature_n_iter = feature_n_iter + jnp.zeros(
+        (n + 2,), feature_n_iter.dtype).at[cols_key].add(
+        valid_e.astype(feature_n_iter.dtype))[:n]
 
     # --- C EMA over the batch codes (recsys.py:159-160) ---
     C = C * (1.0 - w) + (w / b) * (code_b.T @ code_b)
 
     # --- union-of-supports mask + masked full-width BCD ---
-    mask_all = jnp.arange(idx.shape[1])[None, :] < lens[:, None]
+    mask_all = jnp.arange(P)[None, :] < lens[:, None]
     union = jnp.zeros((n,), bool).at[idx.reshape(-1)].max(
         mask_all.reshape(-1), mode='drop')
     union_f = union.astype(dtype)
 
     Dm = D * union_f[None, :]
     R = (B - C @ D) * union_f[None, :]
+
+    if use_pallas:
+        # masked arrays keep every product confined to union columns;
+        # the kernel's budget bookkeeping (cn + ||D_k||^2 at visit time)
+        # is exactly the lax path's comp_norm accounting
+        from ..ops import bcd_pallas
+        D_new, comp_norm = bcd_pallas.bcd_update(
+            Dm, R, C, comp_norm, order, comp_pos=False, l1_ratio=0.0)
+        D = jnp.where(union[None, :], D_new, D)
+        return D, C, B, comp_norm, feature_n_iter, n_iter_new
+
     norms0 = jnp.sum(Dm * Dm, axis=1)
     comp_norm = comp_norm + norms0
 
@@ -206,11 +280,11 @@ def _recsys_batch_step(D, C, B, comp_norm, feature_n_iter, n_iter, code_b,
     return D, C, B, comp_norm, feature_n_iter, n_iter_new
 
 
-@partial(jax.jit, static_argnames=("alpha", "learning_rate"))
+@partial(jax.jit, static_argnames=("alpha", "learning_rate", "use_pallas"))
 @precise
 def _recsys_window(D, C, B, comp_norm, feature_n_iter, n_iter, code,
                    rows_w, idx_w, val_w, lens_w, orders_w, alpha,
-                   learning_rate):
+                   learning_rate, use_pallas=False):
     """Scan the batch step over a window of pre-packed minibatches.
 
     One host->device transfer and one dispatch cover ``W`` batches —
@@ -224,7 +298,7 @@ def _recsys_window(D, C, B, comp_norm, feature_n_iter, n_iter, code,
         code = code.at[rows_b].set(code_b)
         D, C, B, cn, fni, n_it = _recsys_batch_step(
             D, C, B, cn, fni, n_it, code_b, idx_b, val_b, lens_b,
-            order_b, learning_rate)
+            order_b, learning_rate, use_pallas=use_pallas)
         return (D, C, B, cn, fni, n_it, code), None
 
     carry = (D, C, B, comp_norm, feature_n_iter, n_iter, code)
@@ -233,11 +307,12 @@ def _recsys_window(D, C, B, comp_norm, feature_n_iter, n_iter, code,
     return carry
 
 
-@partial(jax.jit, static_argnames=("alpha", "learning_rate"))
+@partial(jax.jit, static_argnames=("alpha", "learning_rate", "use_pallas"))
 @precise
 def _recsys_window_resident(D, C, B, comp_norm, feature_n_iter, n_iter,
                             code, idx_all, val_all, lens_all, rows_w,
-                            orders_w, alpha, learning_rate):
+                            orders_w, alpha, learning_rate,
+                            use_pallas=False):
     """Window scan over device-resident padded rows: the (W, b, P) batch
     tensors are gathered from the one-time-packed (n, P) arrays on
     device, so an epoch moves only row ids over the host link."""
@@ -246,14 +321,14 @@ def _recsys_window_resident(D, C, B, comp_norm, feature_n_iter, n_iter,
     lens_w = jnp.take(lens_all, rows_w, axis=0)
     return _recsys_window(D, C, B, comp_norm, feature_n_iter, n_iter,
                           code, rows_w, idx_w, val_w, lens_w, orders_w,
-                          alpha, learning_rate)
+                          alpha, learning_rate, use_pallas=use_pallas)
 
 
-@partial(jax.jit, static_argnames=("alpha", "learning_rate"))
+@partial(jax.jit, static_argnames=("alpha", "learning_rate", "use_pallas"))
 @precise
 def _recsys_batch_resident(D, C, B, comp_norm, feature_n_iter, n_iter,
                            code, idx_all, val_all, lens_all, rows, order,
-                           alpha, learning_rate):
+                           alpha, learning_rate, use_pallas=False):
     """Single-batch step against device-resident padded rows (the
     odd-size epoch tail; at most two compiled shapes per fit)."""
     idx = jnp.take(idx_all, rows, axis=0)
@@ -263,7 +338,7 @@ def _recsys_batch_resident(D, C, B, comp_norm, feature_n_iter, n_iter,
     code = code.at[rows].set(code_b)
     D, C, B, comp_norm, feature_n_iter, n_iter = _recsys_batch_step(
         D, C, B, comp_norm, feature_n_iter, n_iter, code_b, idx, val,
-        lens, order, learning_rate)
+        lens, order, learning_rate, use_pallas=use_pallas)
     return D, C, B, comp_norm, feature_n_iter, n_iter, code
 
 
@@ -390,6 +465,18 @@ class RecsysDictFact(BaseEstimator):
         alpha = float(self.alpha)
         lr = float(self.learning_rate)
 
+        # VMEM-resident Pallas kernel for the union-BCD (TPU, f32, the
+        # full feature width fits the kernel's budget at recsys scales).
+        # Mesh runs keep the lax path: the pallas custom call has no
+        # GSPMD partitioning rule (cf. _step.py's shard_map wrapper).
+        from ..ops import bcd_pallas
+        use_pallas = (self.mesh is None
+                      and jax.default_backend() not in ('cpu',)
+                      and np.dtype(dtype) == np.float32
+                      and bcd_pallas.supported(self.n_components,
+                                               n_features, np.float32,
+                                               0.0))
+
         interactive = bool(self.verbose) or (self.callback is not None)
         window = 1 if interactive else 32
 
@@ -428,7 +515,7 @@ class RecsysDictFact(BaseEstimator):
                             D, C, B, comp_norm, feature_n_iter, n_iter,
                             code, idx_all, val_all, lens_all,
                             dp_w(rows_w), jnp.asarray(orders_w),
-                            alpha, lr)
+                            alpha, lr, use_pallas=use_pallas)
                     else:
                         idx_w, val_w, lens_w, P = _pad_rows_window(
                             X, rows_w, n_features, dtype)
@@ -437,7 +524,8 @@ class RecsysDictFact(BaseEstimator):
                             D, C, B, comp_norm, feature_n_iter, n_iter,
                             code, dp_w(rows_w), dp_w(idx_w),
                             dp_w(val_w), dp_w(lens_w),
-                            jnp.asarray(orders_w), alpha, lr)
+                            jnp.asarray(orders_w), alpha, lr,
+                            use_pallas=use_pallas)
                     pos += window
                     continue
                 batch = batches[pos]
@@ -458,7 +546,7 @@ class RecsysDictFact(BaseEstimator):
                      code) = _recsys_batch_resident(
                         D, C, B, comp_norm, feature_n_iter, n_iter, code,
                         idx_all, val_all, lens_all, dp_b(rows),
-                        order, alpha, lr)
+                        order, alpha, lr, use_pallas=use_pallas)
                 else:
                     idx, val, lens, P = _pad_rows(X, rows, n_features,
                                                   dtype)
@@ -471,7 +559,8 @@ class RecsysDictFact(BaseEstimator):
                     D, C, B, comp_norm, feature_n_iter, n_iter = \
                         _recsys_batch_step(
                             D, C, B, comp_norm, feature_n_iter, n_iter,
-                            code_b, idx_d, val_d, lens_d, order, lr)
+                            code_b, idx_d, val_d, lens_d, order, lr,
+                            use_pallas=use_pallas)
                 self._D, self._C, self._B = D, C, B
                 self._code = code
             self._D, self._C, self._B = D, C, B

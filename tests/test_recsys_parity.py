@@ -105,3 +105,51 @@ def test_recsys_batch_step_matches_numpy():
     np.testing.assert_allclose(np.asarray(Bd), B, atol=1e-9)
     np.testing.assert_allclose(np.asarray(cnd), comp_norm, atol=1e-9)
     np.testing.assert_array_equal(np.asarray(fnid), fni)
+
+
+def test_recsys_batch_step_pallas_matches_lax():
+    """use_pallas=True routes the union-BCD through the VMEM kernel
+    (interpret mode on CPU); trajectory must match the lax path."""
+    import modl_tpu.ops.bcd_pallas as bp
+
+    rng = np.random.RandomState(1)
+    n_samples, n, k, b = 40, 64, 4, 8
+    X = sp.random(n_samples, n, density=0.3, random_state=1, format='csr')
+    X.data += 0.5
+    X = X.astype(np.float32)
+    D = rng.randn(k, n).astype(np.float32)
+    D /= np.sqrt(np.sum(D ** 2, axis=1))[:, None]
+
+    def run(use_pallas):
+        Dd = jnp.asarray(D)
+        Cd = jnp.zeros((k, k), jnp.float32)
+        Bd = jnp.zeros((k, n), jnp.float32)
+        cnd = jnp.zeros((k,), jnp.float32)
+        fnid = jnp.zeros((n,), jnp.int32)
+        nitd = jnp.zeros((), jnp.int32)
+        rng2 = np.random.RandomState(7)
+        for t in range(3):
+            rows = rng2.permutation(n_samples)[:b]
+            idx, val, lens, P = _pad_rows(X, rows, n, np.float32)
+            code_b = _masked_ridge_codes(Dd, jnp.asarray(idx),
+                                         jnp.asarray(val),
+                                         jnp.asarray(lens), 0.1)
+            order = jnp.asarray(rng2.permutation(k))
+            Dd, Cd, Bd, cnd, fnid, nitd = _recsys_batch_step(
+                Dd, Cd, Bd, cnd, fnid, nitd, code_b, jnp.asarray(idx),
+                jnp.asarray(val), jnp.asarray(lens), order, 0.9,
+                use_pallas=use_pallas)
+        return np.asarray(Dd), np.asarray(cnd), np.asarray(Bd)
+
+    old = bp.INTERPRET
+    bp.INTERPRET = True
+    try:
+        D_lax, cn_lax, B_lax = run(False)
+        D_pal, cn_pal, B_pal = run(True)
+    finally:
+        bp.INTERPRET = old
+    # the kernel's f32 rounding feeds back through codes into B across
+    # steps; everything must agree to f32 trajectory tolerance
+    np.testing.assert_allclose(D_pal, D_lax, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(cn_pal, cn_lax, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(B_pal, B_lax, rtol=1e-4, atol=1e-5)
