@@ -240,6 +240,11 @@ def bench_recsys_tpu(X_tr, X_te, target):
     batch_size = int(np.ceil(1.0 / sparsity))
     alpha, lr, window = RECSYS_ALPHA, RECSYS_LR, 32
 
+    from modl_tpu.ops import bcd_pallas
+    import jax
+    use_pallas = (jax.default_backend() not in ('cpu',)
+                  and bcd_pallas.supported(k, n_features, np.float32, 0.0))
+
     te_rows = np.repeat(np.arange(n_samples),
                         np.diff(X_te.indptr)).astype(np.int32)
     te_cols = X_te.indices.astype(np.int32)
@@ -266,12 +271,13 @@ def bench_recsys_tpu(X_tr, X_te, target):
     _recsys_window_resident(D, C, B, comp_norm, feature_n_iter, n_iter,
                             code, idx_all, val_all, lens_all,
                             jnp.asarray(warm_rows), jnp.asarray(ow),
-                            alpha, lr)
+                            alpha, lr, use_pallas=use_pallas)
     for b_warm in {batch_size, tail} - {0}:
         _recsys_batch_resident(D, C, B, comp_norm, feature_n_iter, n_iter,
                                code, idx_all, val_all, lens_all,
                                jnp.asarray(np.arange(b_warm)),
-                               jnp.asarray(rng.permutation(k)), alpha, lr)
+                               jnp.asarray(rng.permutation(k)), alpha, lr,
+                               use_pallas=use_pallas)
     float(jnp.sum(D[0, :8]))
     compile_s = time.perf_counter() - t0
 
@@ -295,7 +301,8 @@ def bench_recsys_tpu(X_tr, X_te, target):
                     _recsys_window_resident(
                         D, C, B, comp_norm, feature_n_iter, n_iter, code,
                         idx_all, val_all, lens_all, jnp.asarray(rows_w),
-                        jnp.asarray(orders_w), alpha, lr)
+                        jnp.asarray(orders_w), alpha, lr,
+                        use_pallas=use_pallas)
                 pos += window
                 continue
             rows = permutation[batches[pos]]
@@ -304,7 +311,8 @@ def bench_recsys_tpu(X_tr, X_te, target):
                 _recsys_batch_resident(
                     D, C, B, comp_norm, feature_n_iter, n_iter, code,
                     idx_all, val_all, lens_all, jnp.asarray(rows),
-                    jnp.asarray(rng.permutation(k)), alpha, lr)
+                    jnp.asarray(rng.permutation(k)), alpha, lr,
+                    use_pallas=use_pallas)
         float(jnp.sum(D[0, :8]) + n_iter)  # device sync
         elapsed += time.perf_counter() - t0
         r = test_rmse()
@@ -414,6 +422,78 @@ def bench_recsys():
     return extra
 
 
+def bench_fmri_epoch(extra):
+    """End-to-end fMRI epoch: .npy records -> masker -> partial_fit
+    (the flagship streaming use case, reference fmri.py:500-544).
+
+    Records are stored pre-permuted (window-ordered subsets) by the
+    rest.py pipeline; the driver's raw fast path loads them as mmaps in
+    a 2-deep prefetch ring and runs detrend/standardize fused on the
+    device. Reports the io/cpu split (the reference's io_time/cpu_time
+    contract) and the measured host->device link bandwidth: on this
+    tunneled rig the link (~45 MB/s) IS the epoch — a co-located host
+    (PCIe >= 16 GB/s) moves the bound back to the device step
+    (docs/performance.md).
+    """
+    import shutil
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from modl_tpu.decomposition.fmri import fMRIDictFact
+    from modl_tpu.input_data.fmri import (create_raw_rest_data,
+                                          get_raw_rest_data)
+
+    n_rec, frames = 2, 200
+    rng = np.random.RandomState(0)
+    V = rng.randn(N_COMPONENTS, N_FEATURES).astype(np.float32) / 30
+    recs = [(rng.randn(frames, N_COMPONENTS).astype(np.float32) @ V
+             + 0.1 * rng.randn(frames, N_FEATURES).astype(np.float32))
+            for _ in range(n_rec)]
+    mask = np.ones((N_FEATURES, 1, 1), bool)
+
+    # measured link bandwidth at record shape (one transfer)
+    t0 = time.perf_counter()
+    x = jnp.asarray(recs[0])
+    float(jnp.sum(x[0, :8]))
+    link = recs[0].nbytes / 1e6 / (time.perf_counter() - t0)
+    extra["fmri_h2d_MBps"] = round(link, 1)
+    del x
+
+    for tag, dtype in (("", np.float32), ("_f16", np.float16)):
+        d = tempfile.mkdtemp(prefix='modl_fmri_bench')
+        try:
+            create_raw_rest_data(recs, mask, d, standardize=False,
+                                 detrend=False, feature_order=0,
+                                 dtype=dtype)
+            masker, records = get_raw_rest_data(d)
+            # clean at fit time (on device) rather than at store time,
+            # so the bench exercises the full preprocessing path
+            masker.standardize = True
+            masker.detrend = True
+
+            def run():
+                fd = fMRIDictFact(
+                    method='masked', n_components=N_COMPONENTS,
+                    reduction=REDUCTION, batch_size=BATCH, n_epochs=1,
+                    alpha=ALPHA, mask=masker, standardize=True,
+                    detrend=True, random_state=0)
+                fd.fit(records)
+                return fd
+
+            run()                      # compile + warm the jit cache
+            t0 = time.perf_counter()
+            fd = run()                 # measured epoch
+            dt = time.perf_counter() - t0
+            extra["fmri_epoch_samples_per_s" + tag] = round(
+                n_rec * frames / dt, 1)
+            if not tag:
+                extra["fmri_io_s"] = round(fd.io_time_, 3)
+                extra["fmri_cpu_s"] = round(fd.cpu_time_, 3)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def bench_multicore_model(tpu_sps, extra):
     """Modeled multi-core baseline margins (BASELINE.md's north star is
     'vs MULTI-CORE Cython modl'; this host has 1 core, so the scaling
@@ -456,6 +536,10 @@ def main():
         extra["hcp1024_samples_per_s"] = round(bench_hcp1024(), 1)
     except Exception as e:
         extra["hcp1024_error"] = repr(e)[:200]
+    try:
+        bench_fmri_epoch(extra)
+    except Exception as e:
+        extra["fmri_error"] = repr(e)[:200]
     try:
         bench_multicore_model(tpu_sps, extra)
     except Exception as e:
