@@ -226,8 +226,13 @@ def _solve_code(state, X, sample_indices, w_sample, subset, cfg,
     return code, Dx_avg, G_avg
 
 
-def _bcd_kernel_call(cfg, D_blk, R_blk, C_inner, cn, order):
+def _bcd_kernel_call(cfg, D_blk, grad_blk, C_inner, cn, order):
     """Invoke the Pallas BCD kernel, mesh-aware.
+
+    ``grad_blk`` follows the kernel's delayed-update contract
+    (bcd_pallas.bcd_update): the surrogate gradient rows with any
+    out-of-block residual contributions pre-subtracted — NOT the full
+    residual; the kernel reconstructs per-atom residual rows itself.
 
     Under SPMD (``cfg.mesh``) GSPMD has no partitioning rule for the
     pallas custom call, so the call is wrapped in ``shard_map`` with
@@ -241,11 +246,11 @@ def _bcd_kernel_call(cfg, D_blk, R_blk, C_inner, cn, order):
     from ..ops import bcd_pallas
     kw = dict(comp_pos=cfg.comp_pos, l1_ratio=cfg.comp_l1_ratio)
     if cfg.mesh is None:
-        return bcd_pallas.bcd_update(D_blk, R_blk, C_inner, cn,
+        return bcd_pallas.bcd_update(D_blk, grad_blk, C_inner, cn,
                                      order=order, **kw)
     from jax.sharding import PartitionSpec as P
     shard_map = jax.shard_map
-    args = (D_blk, R_blk, C_inner, cn)
+    args = (D_blk, grad_blk, C_inner, cn)
     if order is not None:
         args = args + (order,)
 
@@ -297,9 +302,10 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, order, cfg,
 
     if (cfg.optimizer == 'variational' and cfg.use_pallas
             and bcd_pallas.supported(k, s, dtype, cfg.comp_l1_ratio)):
-        R = grad_subset - C @ D_subset
+        # delayed-update kernel: takes the gradient directly, no
+        # C @ D residual GEMM needed
         D_subset, comp_norm = _bcd_kernel_call(
-            cfg, D_subset, R, C, comp_norm, order)
+            cfg, D_subset, grad_subset, C, comp_norm, order)
     elif cfg.optimizer == 'variational':
         # Block-recomputed BCD: identical sequential math, restructured
         # so the residual for each 128-atom block of the visit order is
@@ -346,14 +352,19 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, order, cfg,
             C_inner = jnp.take(C_rows, ob, axis=1)       # (bs, bs)
             D_blk = jnp.take(D_subset, ob, axis=0)       # (bs, s)
             B_blk = jnp.take(grad_subset, ob, axis=0)    # (bs, s)
-            R_blk = B_blk - C_rows @ D_subset
             if pallas_block:
+                # kernel contract: pre-subtract only the OUT-of-block
+                # residual contributions (zero the in-block C columns);
+                # the kernel reconstructs in-block rows itself
+                out_mask = jnp.ones((k,), dtype).at[ob].set(0.0)
+                G_blk = B_blk - (C_rows * out_mask[None, :]) @ D_subset
                 cn_blk = jnp.take(comp_norm, ob)
                 # rows already sit in visit order -> identity order
                 D_blk, cn_blk = _bcd_kernel_call(
-                    cfg, D_blk, R_blk, C_inner, cn_blk, None)
+                    cfg, D_blk, G_blk, C_inner, cn_blk, None)
                 comp_norm = comp_norm.at[ob].set(cn_blk)
             else:
+                R_blk = B_blk - C_rows @ D_subset
                 D_blk, _, _, _, comp_norm = lax.fori_loop(
                     0, bs, make_block_body(bs),
                     (D_blk, R_blk, C_inner, ob, comp_norm))
@@ -402,11 +413,21 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, order, cfg,
 
 
 def somf_step_inner(state: SomfState, X, sample_indices, subset, order,
-                    cfg: SomfConfig, n_valid=None):
+                    cfg: SomfConfig, n_valid=None, deferred=None):
     """The deterministic step body given an externally drawn feature
     subset and BCD atom order. Exposed separately so the full step can
     be oracle-tested against an independent implementation
     (tests/test_reference_parity.py). Leaves box/cursor/key untouched.
+
+    ``deferred`` (windowed fused scans only): ``(B0, Xseg, SC, pi,
+    trow)`` activates the deferred-B representation — B's full-width
+    EMA pass is NOT applied this step; instead the segment's scaled
+    code buffer SC and decay product pi are advanced, and the gradient
+    window is reconstructed as ``pi * B0[:, win] + SC.T @ Xseg[:, win]``
+    (identical math, summation reordered). Returns ``(state', SC', pi')``
+    with ``state'.B`` left at B0; the scan driver materialises
+    ``B = pi * B0 + SC.T @ Xseg`` once per segment — one full-width
+    HBM pass instead of one per batch.
     """
     dtype = state.D.dtype
     b = X.shape[0]
@@ -434,7 +455,19 @@ def somf_step_inner(state: SomfState, X, sample_indices, subset, order,
                      precision=jax.lax.Precision.HIGHEST)
     if cfg.optimizer == 'variational':
         C = state.C * (1.0 - w) + w * CtC / b
-        B = state.B * (1.0 - w) + w * (code_batch.T @ X) / b
+        if deferred is None:
+            B = state.B * (1.0 - w) + w * (code_batch.T @ X) / b
+        else:
+            B0, Xseg, SC, pi, trow = deferred
+            # advance the deferred representation: decay every earlier
+            # batch's coefficient by (1 - w), deposit this batch's
+            # scaled codes; pi tracks the segment's running decay of B0
+            # (safe at pi -> 0: nothing is ever divided by it)
+            SC = SC * (1.0 - w)
+            SC = lax.dynamic_update_slice(SC, (w / b) * code_batch,
+                                          (trow * b, jnp.int32(0)))
+            pi = pi * (1.0 - w)
+            B = state.B           # stays B0 until the segment boundary
     else:
         C = CtC / b
         B = (code_batch.T @ X) / b
@@ -443,17 +476,29 @@ def somf_step_inner(state: SomfState, X, sample_indices, subset, order,
     # (windowed: B's mirror invariant is maintained automatically - the
     # EMA above is full-width linear in the mirror-padded X)
     width = cfg.len_max if cfg.rand_size else cfg.len_subset
-    grad_subset = _subset_cols(B, subset, width, cfg.windowed)
+    if deferred is None or cfg.optimizer != 'variational':
+        grad_subset = _subset_cols(B, subset, width, cfg.windowed)
+    else:
+        # reconstruct the window of the up-to-date B without having
+        # applied any full-width pass: rows of SC for future batches
+        # are still zero and contribute nothing
+        Xwin = _subset_cols(Xseg, subset, width, True)
+        grad_subset = (pi * _subset_cols(B0, subset, width, True)
+                       + SC.T @ Xwin)
     D, G, comp_norm = _update_dict(
         state.D, state.G, state.comp_norm, C, grad_subset, subset, w,
         order, cfg, n_features, n_valid=n_valid)
 
-    return state._replace(D=D, C=C, B=B, G=G, comp_norm=comp_norm,
-                          code=code, Dx_avg=Dx_avg, G_avg=G_avg,
-                          n_iter=n_iter, sample_n_iter=sample_n_iter)
+    state = state._replace(D=D, C=C, B=B, G=G, comp_norm=comp_norm,
+                           code=code, Dx_avg=Dx_avg, G_avg=G_avg,
+                           n_iter=n_iter, sample_n_iter=sample_n_iter)
+    if deferred is None:
+        return state
+    return state, SC, pi
 
 
-def somf_step(state: SomfState, X, sample_indices, cfg: SomfConfig):
+def somf_step(state: SomfState, X, sample_indices, cfg: SomfConfig,
+              deferred=None):
     """One minibatch update (dict_fact.py:495-526, serial semantics)."""
     # --- feature subset (sampler.pyx via traced cycling box) ---
     if cfg.windowed:
@@ -470,7 +515,7 @@ def somf_step(state: SomfState, X, sample_indices, cfg: SomfConfig):
         order = jax.random.permutation(order_key, cfg.n_components)
         state = state._replace(cursor=cursor, key=key)
         return somf_step_inner(state, X, sample_indices, start, order, cfg,
-                               n_valid=n_valid)
+                               n_valid=n_valid, deferred=deferred)
     if cfg.rand_size:
         subset, n_valid, box, cursor, key = draw_subset_sized(
             state.box, state.cursor, state.key, cfg.len_subset,
@@ -582,17 +627,66 @@ def make_offload_scan(state, cfg):
                    out_shardings=state_out_shardings(state, cfg))
 
 
+def _deferred_seg(cfg, n_batches):
+    """Deferred-B segment length (batches) for the fused scan; 0 = off.
+
+    B's per-batch EMA is one full-width read-modify-write of the (k, n)
+    statistics — HBM-bound at large k (measured ~6 ms/step of the 15 ms
+    HCP-1024 step). Deferring it across a segment of T batches costs a
+    per-step (k, T*b) x (T*b, width) window-correction GEMM instead, so
+    T is capped where the correction (~T*b*k*width MACs) stays below
+    ~2/3 of the amortised full-width GEMM (b*k*n MACs)."""
+    if not (cfg.windowed and cfg.optimizer == 'variational'):
+        return 0
+    width = cfg.len_max if cfg.rand_size else cfg.len_subset
+    seg = (2 * cfg.n_features) // (3 * max(width, 1))
+    return int(max(0, min(seg, 16, n_batches)))
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def somf_scan(state: SomfState, X_batches, idx_batches, cfg: SomfConfig):
     """Fused epoch segment: scan ``somf_step`` over stacked minibatches.
 
     X_batches: (n_batches, batch_size, n_features) resident in HBM.
+    Windowed variational configs run the deferred-B segmentation (see
+    ``somf_step_inner``): identical math with B's full-width EMA pass
+    applied once per segment instead of once per batch.
     """
-    def body(carry, inp):
-        Xb, idxb = inp
-        return somf_step(carry, Xb, idxb, cfg), None
+    T = X_batches.shape[0]
+    seg = _deferred_seg(cfg, T)
+    if seg < 2:
+        def body(carry, inp):
+            Xb, idxb = inp
+            return somf_step(carry, Xb, idxb, cfg), None
 
-    state, _ = lax.scan(body, state, (X_batches, idx_batches))
+        state, _ = lax.scan(body, state, (X_batches, idx_batches))
+        return state
+
+    b = X_batches.shape[1]
+    k = cfg.n_components
+    dtype = state.D.dtype
+    pos = 0
+    while pos < T:
+        L = min(seg, T - pos)
+        Xs = lax.slice_in_dim(X_batches, pos, pos + L, axis=0)
+        Is = lax.slice_in_dim(idx_batches, pos, pos + L, axis=0)
+        Xseg = Xs.reshape(L * b, -1)
+        B0 = state.B
+        SC0 = jnp.zeros((L * b, k), dtype)
+
+        def body(carry, inp):
+            st, SC, pi, trow = carry
+            Xb, idxb = inp
+            st, SC, pi = somf_step(st, Xb, idxb, cfg,
+                                   deferred=(B0, Xseg, SC, pi, trow))
+            return (st, SC, pi, trow + 1), None
+
+        (state, SC, pi, _), _ = lax.scan(
+            body, (state, SC0, jnp.asarray(1.0, dtype), jnp.int32(0)),
+            (Xs, Is))
+        # one full-width pass materialises the segment's B
+        state = state._replace(B=pi * B0 + SC.T @ Xseg)
+        pos += L
     return state
 
 

@@ -118,10 +118,16 @@ def _masked_ridge_codes(D, idx, val, lens, alpha):
     D (k, n); idx/val (b, P) padded; lens (b,). recsys.py:168-180.
     """
     k, n = D.shape
-    Dg = jnp.take(D, idx, axis=1, fill_value=0.0)     # (k, b, P)
-    Dg = jnp.moveaxis(Dg, 1, 0)                        # (b, k, P)
-    Dx = jnp.einsum('bkp,bp->bk', Dg, val)
-    G = jnp.einsum('bkp,bqp->bkq', Dg, Dg)
+    # gather support columns as ROWS of D^T: a column gather of the
+    # row-major (k, n) dictionary touches ~k/8 separate HBM tiles per
+    # entry (measured ~7x the useful bytes at recsys shapes), while a
+    # row gather of the transposed (n, k) layout reads one
+    # tile-contiguous run per entry; the 2 MB transpose per batch is
+    # noise next to the saved gather traffic
+    Dt = D.T                                           # (n, k)
+    Dg = jnp.take(Dt, idx, axis=0, fill_value=0.0)     # (b, P, k)
+    Dx = jnp.einsum('bpk,bp->bk', Dg, val)
+    G = jnp.einsum('bpk,bpq->bkq', Dg, Dg)
     lens_f = jnp.maximum(lens, 1).astype(D.dtype)
     reduction = n / lens_f
     ridge = alpha / reduction
@@ -241,17 +247,23 @@ def _recsys_batch_step(D, C, B, comp_norm, feature_n_iter, n_iter, code_b,
     union_f = union.astype(dtype)
 
     Dm = D * union_f[None, :]
-    R = (B - C @ D) * union_f[None, :]
 
     if use_pallas:
         # masked arrays keep every product confined to union columns;
         # the kernel's budget bookkeeping (cn + ||D_k||^2 at visit time)
-        # is exactly the lax path's comp_norm accounting
+        # is exactly the lax path's comp_norm accounting. The
+        # delayed-update kernel takes the (masked) gradient directly
+        # and reconstructs residual rows from Dm itself — the column
+        # mask commutes with the C @ D contraction, so no residual
+        # GEMM is needed here either.
         from ..ops import bcd_pallas
         D_new, comp_norm = bcd_pallas.bcd_update(
-            Dm, R, C, comp_norm, order, comp_pos=False, l1_ratio=0.0)
+            Dm, B * union_f[None, :], C, comp_norm, order,
+            comp_pos=False, l1_ratio=0.0)
         D = jnp.where(union[None, :], D_new, D)
         return D, C, B, comp_norm, feature_n_iter, n_iter_new
+
+    R = (B - C @ D) * union_f[None, :]
 
     norms0 = jnp.sum(Dm * Dm, axis=1)
     comp_norm = comp_norm + norms0

@@ -1,11 +1,24 @@
 """Pallas TPU kernel for the block-coordinate-descent dictionary update.
 
-The BCD loop (dict_fact.py:672-694) is sequential over atoms; each
-iteration does two rank-1 residual updates on the (k, s) residual matrix
-R plus a row solve + ball projection. Done in XLA HLO, every iteration
-round-trips R through HBM (~2 k*s*4 bytes per atom -> ~1.3 GB/batch in
-the ADHD-70 config). This kernel keeps D_subset and R resident in VMEM
-for the whole loop: HBM sees exactly one read and one write of each.
+The BCD loop (dict_fact.py:672-694) is sequential over atoms; the
+textbook (right-looking) formulation does two rank-1 residual updates on
+the (k, s) residual matrix R per atom plus a row solve + ball
+projection. Done in XLA HLO, every iteration round-trips R through HBM
+(~2 k*s*4 bytes per atom -> ~1.3 GB/batch in the ADHD-70 config).
+
+This kernel goes one step further than keeping R resident: it never
+maintains R at all (left-looking / delayed-update formulation). D and
+the *gradient* rows live in VMEM; each atom's residual row is
+reconstructed on the fly with ONE MXU contraction against the
+in-place-updated D buffer:
+
+    R_j = grad_j - sum_i C[j, i] * D_cur[i] + C[j, j] * D_cur[j]
+
+where D_cur holds updated rows for already-visited atoms and original
+rows for the rest - exactly the right-looking recurrence, by
+telescoping. HBM sees one read of grad and one read + one write of D;
+VMEM sees one (fold*k, spp) read per atom instead of the right-looking
+~3 full-block touches (read R, read tiled delta, write R).
 
 Performance shape (v5e-measured):
 
@@ -20,12 +33,12 @@ Performance shape (v5e-measured):
   occupies FOLD=8 sublanes instead of 1. Row-local work (the ball
   projection's data-dependent reduction chain) then runs at full VPU
   sublane utilization instead of 1/8.
-- The rank-1 residual update needs the atom row tiled across all k
-  row-groups; Mosaic cannot reshape/tile in-kernel, so it is expressed
-  as a tiny MXU matmul against a constant tile(eye(FOLD), (k, 1))
-  matrix. The C column is likewise extracted with a (k*FOLD, k) x
-  (k, 1) one-hot matvec - dynamic *lane* slices are slow in Mosaic,
-  dynamic sublane slices are fine.
+- The contraction weights for atom j are C's row j broadcast into the
+  folded layout: row j of the pre-repeated (k, fold*k) matrix
+  C_rep[j, fold*i + g] = C[j, i] is a cheap dynamic *sublane* slice
+  (dynamic lane slices are slow in Mosaic), masked by the constant
+  fold-selector T[f, fold*i + g] = [f == g] so each folded sublane f
+  contracts with its own fold-offset rows.
 
 Constraint geometries (static ``comp_l1_ratio``):
 
@@ -71,15 +84,18 @@ FOLD = 8
 FOLD_MIN_S = 2048
 
 # Newton steps for the l1-ball threshold: warm-started at the
-# mean-shrinkage bound, ~4 suffice in practice; 10 leaves wide margin
-# (under-convergence is made feasible by the safeguard scale below)
-NEWTON_ITERS = 10
+# mean-shrinkage bound, ~4 suffice in practice; 6 leaves margin, and
+# under-convergence is made feasible by the safeguard scale below (the
+# Newton chain sits on the kernel's per-atom critical path, ~0.2 us per
+# iteration, so the 10 -> 6 trim is a measurable win at k ~ 1000)
+NEWTON_ITERS = 6
 # bisection steps for the general enet-ball threshold
 PROJ_ITERS = 30
-# unroll factor of the kernel's atom loop (the loop is sequential
-# through R, but unrolling lets Mosaic pipeline the independent
-# per-atom extraction ops across consecutive atoms)
-UNROLL = 1
+# fully unroll the kernel's atom loop (Mosaic supports only unroll=1 or
+# unroll=num_steps): the loop is sequential through D, but unrolling
+# removes per-iteration loop overhead and lets Mosaic pipeline the
+# independent per-atom slice/extract ops across consecutive atoms
+FULL_UNROLL = True
 
 
 def supported(k, s, dtype, comp_l1_ratio):
@@ -87,7 +103,7 @@ def supported(k, s, dtype, comp_l1_ratio):
     del comp_l1_ratio  # all geometries are covered
     if jnp.dtype(dtype) != jnp.float32:
         return False
-    # resident buffers: D + R (k x s each), C_rep (FOLD k x k), cn
+    # resident buffers: D + grad (k x s each), C_rep (k x FOLD k), cn
     vmem_bytes = (2 * k * s + FOLD * k * k + 8 * k) * 4
     if vmem_bytes > VMEM_BUDGET:
         return False
@@ -178,43 +194,42 @@ def _project_rows(v, radius, l1_ratio):
     return jnp.where(radius > 0, out, jnp.zeros_like(v))
 
 
-def _kernel(C_rep_ref, Cd_ref, T_ref, D_in, R_in, cn_in, D_out, R_out,
+def _kernel(C_rep_ref, Cd_ref, T_ref, D_in, G_in, cn_in, D_out,
             cn_out, *, k, fold, comp_pos, l1_ratio):
     # operate in place on the aliased outputs
     D_out[:] = D_in[:]
-    R_out[:] = R_in[:]
     cn_out[:] = cn_in[:]
-
-    row_ids = lax.broadcasted_iota(jnp.int32, (k, 1), 0)  # (k, 1)
 
     def body(j, carry):
         Dk = D_out[pl.ds(fold * j, fold), :]              # (fold, spp)
         norm_old = _enet_norm_rows(Dk, l1_ratio)
         budget = jnp.sum(cn_out[pl.ds(j, 1), :]) + norm_old
-        # C column j via one-hot matvec (dynamic lane slices are slow in
-        # Mosaic; a small MXU matvec is ~free at block sizes), repeated
-        # fold-fold so it broadcasts over the folded row groups
-        onehot = (row_ids == j).astype(jnp.float32)       # (k, 1)
-        # DEFAULT (bf16-input) dots, pinned explicitly: these only
-        # select/tile through exact 0/1 matrices, so the only loss is
-        # bf16 rounding of the C column / delta row feeding the rank-1
-        # residual update - the same noise class as the block
-        # residual's own DEFAULT GEMM recompute, and ~6x cheaper than
-        # HIGHEST in Mosaic (0.79 vs 1.94 ms/block on v5e). Objective-
-        # trajectory parity vs the exact lax path is pinned on-device
-        # by tests/test_tpu_quality.py (measured rel diff <= 1.4e-3
-        # over masked/full x l2/l1-ball planted-data fits). Pinning
-        # also keeps the kernel lowerable when a caller traces it under
+        # contraction weights: C row j lifted into the folded layout.
+        # Dynamic *sublane* slices are cheap in Mosaic (lane slices are
+        # not), so C is passed pre-repeated along lanes and row j is one
+        # ds(); the constant fold-selector T routes each folded sublane
+        # to its own fold-offset rows.
+        Cj = C_rep_ref[pl.ds(j, 1), :]                    # (1, fold*k)
+        W = T_ref[:] * Cj                                 # (fold, fold*k)
+        # The single O(k*s) op per atom: residual-row reconstruction
+        # against the in-place-updated D buffer (delayed-update BCD).
+        # DEFAULT (single-pass bf16) MXU precision, pinned explicitly:
+        # the bf16 rounding of D rows entering this contraction is the
+        # same noise class as the block driver's own DEFAULT residual
+        # GEMM recompute, and ~6x cheaper than HIGHEST in Mosaic (0.79
+        # vs 1.94 ms/block on v5e). Objective-trajectory parity vs the
+        # exact lax path is pinned on-device by tests/test_tpu_quality
+        # (rel diff <= 1.4e-3 over masked/full x l2/l1-ball fits).
+        # Pinning also keeps the kernel lowerable when traced under
         # jax.default_matmul_precision('high') (the ops.precision
         # context): Mosaic has no lowering for HIGH dots.
-        Ck = jnp.dot(C_rep_ref[:], onehot,
-                     preferred_element_type=jnp.float32,
-                     precision=lax.Precision.DEFAULT)     # (fold*k, 1)
+        corr = jnp.dot(W, D_out[:],
+                       preferred_element_type=jnp.float32,
+                       precision=lax.Precision.DEFAULT)   # (fold, spp)
         Ckk = jnp.sum(Cd_ref[pl.ds(j, 1), :])
-        # the post-"re-add own contribution" residual row is derivable
-        # from the maintained residual without materialising it:
-        # Rk = R[j] + Ckk * Dk  (fuses the two rank-1 passes into one)
-        Rk = R_out[pl.ds(fold * j, fold), :] + Ckk * Dk
+        # corr counts atom j's own (not yet updated) row; adding it back
+        # yields exactly the right-looking "re-add own contribution" row
+        Rk = G_in[pl.ds(fold * j, fold), :] - corr + Ckk * Dk
         good = Ckk > 1e-20
         Dk_new = jnp.where(good, Rk / jnp.where(good, Ckk, 1.0), Dk)
         if comp_pos:
@@ -222,26 +237,16 @@ def _kernel(C_rep_ref, Cd_ref, T_ref, D_in, R_in, cn_in, D_out, R_out,
         Dk_new = _project_rows(Dk_new, budget, l1_ratio)
         new_cn = budget - _enet_norm_rows(Dk_new, l1_ratio)
         cn_out[pl.ds(j, 1), :] = new_cn.reshape(1, 1)
-        # the only O(k*s) pass per atom: rank-1 residual maintenance.
-        # Mosaic cannot tile (fold, spp) -> (fold*k, spp) in-kernel, so
-        # the tiling is a matmul against the constant T = tile(eye(fold))
-        delta = Dk_new - Dk
-        if fold == 1:
-            R_out[:] = R_out[:] - Ck * delta
-        else:
-            delta_t = jnp.dot(T_ref[:], delta,
-                              preferred_element_type=jnp.float32,
-                              precision=lax.Precision.DEFAULT)
-            R_out[:] = R_out[:] - Ck * delta_t
         D_out[pl.ds(fold * j, fold), :] = Dk_new
         return carry
 
-    lax.fori_loop(0, k, body, 0, unroll=UNROLL if UNROLL > 1 else None)
+    lax.fori_loop(0, k, body, 0, unroll=k if FULL_UNROLL else None)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "fold", "comp_pos", "l1_ratio"))
-def _bcd_update_ordered(D_subset, R, C, cn2, k, fold, comp_pos, l1_ratio):
+def _bcd_update_ordered(D_subset, grad, C, cn2, k, fold, comp_pos,
+                        l1_ratio):
     """Kernel invocation: atoms visited in row order 0..k-1.
 
     Folds rows sublane-major (outside the kernel, in XLA) so row-local
@@ -255,52 +260,60 @@ def _bcd_update_ordered(D_subset, R, C, cn2, k, fold, comp_pos, l1_ratio):
         # zero, shrinkage/scaling of 0 is 0, norms are unaffected
         pad = ((0, 0), (0, sp - s))
         D_subset = jnp.pad(D_subset, pad)
-        R = jnp.pad(R, pad)
+        grad = jnp.pad(grad, pad)
     D8 = D_subset.reshape(k * fold, spp)
-    R8 = R.reshape(k * fold, spp)
-    C_rep = jnp.repeat(C, fold, axis=0) if fold > 1 else C
+    G8 = grad.reshape(k * fold, spp)
+    # C row j in folded-lane layout: C_rep[j, fold*i + g] = C[j, i]
+    C_rep = jnp.repeat(C, fold, axis=1) if fold > 1 else C
     Cdiag = jnp.diagonal(C).reshape(k, 1)
-    T = (jnp.tile(jnp.eye(fold, dtype=D8.dtype), (k, 1))
-         if fold > 1 else jnp.zeros((1, 1), D8.dtype))
+    # fold-selector: T[f, fold*i + g] = [f == g]
+    T = (jnp.tile(jnp.eye(fold, dtype=D8.dtype), (1, k))
+         if fold > 1 else jnp.ones((1, k), D8.dtype))
     kern = functools.partial(_kernel, k=k, fold=fold, comp_pos=comp_pos,
                              l1_ratio=float(l1_ratio))
-    D_new, _, cn_new = pl.pallas_call(
+    D_new, cn_new = pl.pallas_call(
         kern,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[
             jax.ShapeDtypeStruct((k * fold, spp), D8.dtype),
-            jax.ShapeDtypeStruct((k * fold, spp), R8.dtype),
             jax.ShapeDtypeStruct((k, 1), cn2.dtype),
         ],
-        input_output_aliases={3: 0, 4: 1, 5: 2},
+        input_output_aliases={3: 0, 5: 1},
         interpret=INTERPRET,
-    )(C_rep, Cdiag, T, D8, R8, cn2)
+    )(C_rep, Cdiag, T, D8, G8, cn2)
     return D_new.reshape(k, sp)[:, :s], cn_new
 
 
-def bcd_update(D_subset, R, C, comp_norm, order=None, comp_pos=False,
+def bcd_update(D_subset, grad, C, comp_norm, order=None, comp_pos=False,
                l1_ratio=0.0):
     """Run the VMEM-resident BCD loop; returns (D_subset', comp_norm').
 
-    D_subset (k, s) f32, R (k, s) = grad - C @ D_subset, C (k, k),
-    comp_norm (k,), order (k,) int32 atom visit order (None = row
-    order); ``l1_ratio`` is the static dictionary-ball geometry
-    (comp_l1_ratio). When ``order`` is given, rows are permuted into
-    visit order outside the kernel and un-permuted after, so the kernel
-    itself always walks rows 0..k-1.
+    D_subset (k, s) f32; ``grad`` (k, s) is the surrogate gradient
+    B[:, subset] (the reference's ``gradient_``) — NOT the residual:
+    the kernel reconstructs each atom's residual row on the fly from
+    grad and the current D (delayed-update formulation, see module
+    docstring), so callers skip the C @ D residual GEMM entirely. A
+    block driver updating rows ``ob`` of a larger dictionary passes
+    ``grad = B_blk - (C_rows * out_of_block_mask) @ D_full`` — the
+    out-of-block contributions pre-subtracted, in-block ones left to
+    the kernel. C (k, k), comp_norm (k,), order (k,) int32 atom visit
+    order (None = row order); ``l1_ratio`` is the static
+    dictionary-ball geometry (comp_l1_ratio). When ``order`` is given,
+    rows are permuted into visit order outside the kernel and
+    un-permuted after, so the kernel itself always walks rows 0..k-1.
     """
     k, s = D_subset.shape
     if order is not None:
         inv = jnp.argsort(order)
         D_subset = jnp.take(D_subset, order, axis=0)
-        R = jnp.take(R, order, axis=0)
+        grad = jnp.take(grad, order, axis=0)
         C = jnp.take(jnp.take(C, order, axis=0), order, axis=1)
         comp_norm = jnp.take(comp_norm, order)
     fold = FOLD if s >= FOLD_MIN_S else 1
     D_new, cn_new = _bcd_update_ordered(
-        D_subset, R, C, comp_norm.reshape(k, 1), k, fold, bool(comp_pos),
-        float(l1_ratio))
+        D_subset, grad, C, comp_norm.reshape(k, 1), k, fold,
+        bool(comp_pos), float(l1_ratio))
     cn_new = cn_new.reshape(k)
     if order is not None:
         D_new = jnp.take(D_new, inv, axis=0)
@@ -308,7 +321,7 @@ def bcd_update(D_subset, R, C, comp_norm, order=None, comp_pos=False,
     return D_new, cn_new
 
 
-def bcd_update_l2(D_subset, R, C, comp_norm, order, comp_pos=False):
+def bcd_update_l2(D_subset, grad, C, comp_norm, order, comp_pos=False):
     """Back-compat wrapper for the l2-ball case."""
-    return bcd_update(D_subset, R, C, comp_norm, order, comp_pos=comp_pos,
-                      l1_ratio=0.0)
+    return bcd_update(D_subset, grad, C, comp_norm, order,
+                      comp_pos=comp_pos, l1_ratio=0.0)

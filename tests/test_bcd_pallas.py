@@ -55,7 +55,9 @@ def test_bcd_kernel_matches_reference(comp_pos, l1r):
     cn = np.zeros(k, np.float32)
     order = rng.permutation(k).astype(np.int32)
 
-    Dn, cnn = bp.bcd_update(jnp.asarray(D), jnp.asarray(R),
+    # the kernel takes the gradient (delayed-update formulation); the
+    # reference below maintains the explicit residual R = grad - C @ D
+    Dn, cnn = bp.bcd_update(jnp.asarray(D), jnp.asarray(grad),
                             jnp.asarray(C), jnp.asarray(cn),
                             jnp.asarray(order), comp_pos=comp_pos,
                             l1_ratio=l1r)
@@ -85,10 +87,10 @@ def test_l1_projection_feasible_on_adversarial_rows():
         np.float32)
     D[:, :4] *= 1e4
     C = np.eye(k, dtype=np.float32)  # solve step: D_new = R_k / 1
-    R = (D * 37.0 - C @ D).astype(np.float32)  # forces a big resolve
+    grad = (D * 37.0).astype(np.float32)       # forces a big resolve
     cn = np.zeros(k, np.float32)
     order = np.arange(k, dtype=np.int32)
-    Dn, cnn = bp.bcd_update(jnp.asarray(D), jnp.asarray(R),
+    Dn, cnn = bp.bcd_update(jnp.asarray(D), jnp.asarray(grad),
                             jnp.asarray(C), jnp.asarray(cn),
                             jnp.asarray(order), comp_pos=False,
                             l1_ratio=1.0)
