@@ -105,8 +105,16 @@ class NumpyMasker(BaseEstimator):
                 raise ValueError('Provide a mask or data to fit the masker')
             img = _load_img(imgs[0] if isinstance(imgs, (list, tuple))
                             else imgs)
-            # background mask: voxels with nonzero variance
-            mask = img.std(axis=-1) > 0
+            if img.ndim == 2:
+                # already-masked (t, voxels) record: every column is a
+                # feature — keep all of them so the learner's width
+                # matches what transform() streams (axis -1 is voxels
+                # here, NOT time; a std(axis=-1) mask would measure
+                # per-frame variance and prepare at n_frames width)
+                mask = np.ones(img.shape[1], dtype=bool)
+            else:
+                # background mask: voxels with nonzero variance
+                mask = img.std(axis=-1) > 0
         self.mask_img_ = np.asarray(mask, bool)
         self.n_voxels_ = int(self.mask_img_.sum())
         order = self.feature_order

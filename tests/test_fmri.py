@@ -350,3 +350,24 @@ def test_fmri_raw_device_path_matches_host_path():
         out[name] = fd.components_
     np.testing.assert_allclose(out['raw'], out['host'],
                                rtol=1e-7, atol=1e-9)
+
+
+def test_numpy_masker_auto_fit_on_2d_records():
+    """Auto-fitting the masker (mask=None) on already-masked 2-D
+    (t, voxels) records must infer n_voxels from the COLUMN count —
+    a variance mask over axis -1 would measure per-frame variance and
+    prepare the learner at n_frames width (round-3 verify regression:
+    fMRIDictFact then crashed on the first partial_fit)."""
+    rng = np.random.RandomState(0)
+    imgs = [rng.randn(40, 500).astype(np.float32) for _ in range(3)]
+    masker = NumpyMasker(standardize=True, detrend=True)
+    masker.fit(imgs)
+    assert masker.n_voxels_ == 500
+    assert masker.transform(imgs[0]).shape == (40, 500)
+
+    from modl_tpu import fMRIDictFact
+    fm = fMRIDictFact(n_components=5, reduction=2, n_epochs=1,
+                      mask=NumpyMasker(), batch_size=20, random_state=0,
+                      method='masked', verbose=0)
+    fm.fit(imgs)
+    assert fm.components_.shape == (5, 500)
