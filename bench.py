@@ -45,46 +45,62 @@ def _data(dtype=np.float32):
     return U @ V + 0.1 * rng.randn(N_SAMPLES, N_FEATURES).astype(dtype)
 
 
-def bench_tpu(X):
+def _scan_epoch_seconds(df, Xb, ib, lo=1, hi=6):
+    """Seconds per fused epoch, dispatch-overhead-free.
+
+    On the tunneled backend a dispatch + scalar-sync round trip costs
+    ~28 ms regardless of device work, so raw `time(scan)/steps` bakes
+    a phantom per-step constant into short measurements. Timing the
+    SAME single-dispatch program at ``lo`` and ``hi`` repeats and
+    taking the slope cancels every per-call constant (RTT, dispatch,
+    sync); arrays enter as jit arguments (closure-captured device
+    arrays would be shipped as compile-time constants through the
+    tunnel)."""
+    import functools
     import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from modl_tpu.decomposition._step import somf_scan
+
+    cfg = df._cfg
+
+    @functools.partial(jax.jit, static_argnames=('reps',))
+    def many(state, Xb, ib, reps):
+        def body(i, st):
+            return somf_scan(st, Xb, ib, cfg)
+        return lax.fori_loop(0, reps, body, state)
+
+    def timed(reps):
+        best = float('inf')
+        for _ in range(3):
+            t0 = time.perf_counter()
+            st = many(df._state, Xb, ib, reps)
+            float(jnp.sum(st.D[0, :8]) + st.n_iter)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    for reps in (lo, hi):   # compile both programs + absorb slow-start
+        st = many(df._state, Xb, ib, reps)
+        float(jnp.sum(st.D[0, :8]) + st.n_iter)
+    return (timed(hi) - timed(lo)) / (hi - lo)
+
+
+def bench_tpu(X):
     import jax.numpy as jnp
 
     from modl_tpu import DictFact
-    from modl_tpu.decomposition._step import somf_scan
 
     df = DictFact(n_components=N_COMPONENTS, reduction=REDUCTION,
                   code_alpha=ALPHA, code_l1_ratio=0, comp_l1_ratio=1,
                   learning_rate=LR, batch_size=BATCH, random_state=0,
                   dtype=np.float32, subset_sampling='window')
     df.prepare(n_samples=N_SAMPLES, X=X)
-    cfg = df._cfg
-    state = df._state
     n_batches = N_SAMPLES // BATCH
-    Xi = df._ingest_features(jnp.asarray(X, state.D.dtype))
+    Xi = df._ingest_features(jnp.asarray(X, df._state.D.dtype))
     Xb = Xi.reshape(n_batches, BATCH, -1)
     ib = jnp.arange(N_SAMPLES, dtype=jnp.int32).reshape(n_batches, BATCH)
-
-    def sync(s):
-        # a scalar read is the only true sync on tunneled backends
-        # (block_until_ready returns early there); 4-byte transfer.
-        return float(jnp.sum(s.D[0, :8]) + s.n_iter)
-
-    # warm passes: the first compiles; the rest absorb the tunnel/driver
-    # slow-start (early executions of a fresh program run up to 3x slow
-    # on this backend, and the effect can persist several executions)
-    for _ in range(4):
-        state = somf_scan(state, Xb, ib, cfg)
-        sync(state)
-
-    epochs = max(1, STEPS_MEASURE // n_batches)
-    best = float('inf')
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(epochs):
-            state = somf_scan(state, Xb, ib, cfg)
-        sync(state)
-        best = min(best, time.perf_counter() - t0)
-    return epochs * N_SAMPLES / best
+    return N_SAMPLES / _scan_epoch_seconds(df, Xb, ib)
 
 
 def bench_numpy_baseline(X):
@@ -152,7 +168,6 @@ def bench_hcp1024():
     import jax.numpy as jnp
 
     from modl_tpu import DictFact
-    from modl_tpu.decomposition._step import somf_scan
 
     n_samples, n_features, batch = 1200, 200_000, 200
     rng = np.random.RandomState(0)
@@ -166,18 +181,7 @@ def bench_hcp1024():
     Xi = df._ingest_features(jnp.asarray(X))
     Xb = Xi.reshape(nb, batch, -1)
     ib = jnp.arange(nb * batch, dtype=jnp.int32).reshape(nb, batch)
-    state = df._state
-    for _ in range(2):   # compile, then absorb the backend slow-start
-        state = somf_scan(state, Xb, ib, df._cfg)
-        float(jnp.sum(state.D[0, :8]) + state.n_iter)
-    best = float('inf')
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(3):
-            state = somf_scan(state, Xb, ib, df._cfg)
-        float(jnp.sum(state.D[0, :8]) + state.n_iter)
-        best = min(best, time.perf_counter() - t0)
-    return 3 * n_samples / best
+    return n_samples / _scan_epoch_seconds(df, Xb, ib, lo=1, hi=6)
 
 
 # ---------------------------------------------------------------------

@@ -73,6 +73,10 @@ from jax.experimental.pallas import tpu as pltpu
 # flipped to True by tests to run the kernel in interpreter mode on CPU
 INTERPRET = False
 
+# perf-attribution hook (benchmarks only — breaks exactness): names of
+# kernel stages to skip when timing, e.g. {'proj', 'corr_in', 'c8'}
+_ABLATE = frozenset()
+
 # VMEM budget for the resident D + R buffers (bytes); beyond this fall
 # back to lax / smaller row blocks. Headroom above it (v5e has ~16 MB)
 # absorbs the C_rep/T constants and the rank-1 matmul temporary.
@@ -91,11 +95,13 @@ FOLD_MIN_S = 2048
 NEWTON_ITERS = 6
 # bisection steps for the general enet-ball threshold
 PROJ_ITERS = 30
-# fully unroll the kernel's atom loop (Mosaic supports only unroll=1 or
-# unroll=num_steps): the loop is sequential through D, but unrolling
-# removes per-iteration loop overhead and lets Mosaic pipeline the
-# independent per-atom slice/extract ops across consecutive atoms
-FULL_UNROLL = True
+# atoms per panel: the per-atom residual reconstruction is split into
+# one (p*fold, fold*k) x (fold*k, spp) panel contraction against the
+# out-of-panel dictionary (amortised over p atoms, full-height MXU
+# operand at p*fold = 128 rows) plus a per-atom (fold, p*fold) x
+# (p*fold, spp) in-panel contraction — the only matmul left on the
+# sequential critical path, with a K dimension p/k the size.
+PANEL_ATOMS = 16
 
 
 def supported(k, s, dtype, comp_l1_ratio):
@@ -194,53 +200,123 @@ def _project_rows(v, radius, l1_ratio):
     return jnp.where(radius > 0, out, jnp.zeros_like(v))
 
 
-def _kernel(C_rep_ref, Cd_ref, T_ref, D_in, G_in, cn_in, D_out,
-            cn_out, *, k, fold, comp_pos, l1_ratio):
-    # operate in place on the aliased outputs
+def _kernel(C_rep_ref, Cd_ref, Ttile_ref, Rep_ref, D_in, G_in, cn_in,
+            D_out, cn_out, *, k, fold, comp_pos, l1_ratio, p):
+    # All bookkeeping lives in SSA *values* (registers / compiler-
+    # managed VMEM temporaries), not refs: per-atom ref reads/writes
+    # force Mosaic to serialize the unrolled loop on memory order,
+    # which measured at ~9 us/atom of pure overhead. Refs are touched
+    # once per panel (D) / once per kernel (cn), so the only serial
+    # chain left is the true data dependency:
+    # corr_in -> solve/project -> panel-row update.
     D_out[:] = D_in[:]
-    cn_out[:] = cn_in[:]
+    Cd = Cd_ref[:]                                    # (k, 1) value
+    cn = cn_in[:]                                     # (k, 1) value
+    row1 = lax.broadcasted_iota(jnp.int32, (k, 1), 0)
 
-    def body(j, carry):
-        Dk = D_out[pl.ds(fold * j, fold), :]              # (fold, spp)
-        norm_old = _enet_norm_rows(Dk, l1_ratio)
-        budget = jnp.sum(cn_out[pl.ds(j, 1), :]) + norm_old
-        # contraction weights: C row j lifted into the folded layout.
-        # Dynamic *sublane* slices are cheap in Mosaic (lane slices are
-        # not), so C is passed pre-repeated along lanes and row j is one
-        # ds(); the constant fold-selector T routes each folded sublane
-        # to its own fold-offset rows.
-        Cj = C_rep_ref[pl.ds(j, 1), :]                    # (1, fold*k)
-        W = T_ref[:] * Cj                                 # (fold, fold*k)
-        # The single O(k*s) op per atom: residual-row reconstruction
-        # against the in-place-updated D buffer (delayed-update BCD).
-        # DEFAULT (single-pass bf16) MXU precision, pinned explicitly:
-        # the bf16 rounding of D rows entering this contraction is the
-        # same noise class as the block driver's own DEFAULT residual
-        # GEMM recompute, and ~6x cheaper than HIGHEST in Mosaic (0.79
-        # vs 1.94 ms/block on v5e). Objective-trajectory parity vs the
-        # exact lax path is pinned on-device by tests/test_tpu_quality
-        # (rel diff <= 1.4e-3 over masked/full x l2/l1-ball fits).
-        # Pinning also keeps the kernel lowerable when traced under
-        # jax.default_matmul_precision('high') (the ops.precision
-        # context): Mosaic has no lowering for HIGH dots.
-        corr = jnp.dot(W, D_out[:],
-                       preferred_element_type=jnp.float32,
-                       precision=lax.Precision.DEFAULT)   # (fold, spp)
-        Ckk = jnp.sum(Cd_ref[pl.ds(j, 1), :])
-        # corr counts atom j's own (not yet updated) row; adding it back
-        # yields exactly the right-looking "re-add own contribution" row
-        Rk = G_in[pl.ds(fold * j, fold), :] - corr + Ckk * Dk
-        good = Ckk > 1e-20
-        Dk_new = jnp.where(good, Rk / jnp.where(good, Ckk, 1.0), Dk)
-        if comp_pos:
-            Dk_new = jnp.maximum(Dk_new, 0.0)
-        Dk_new = _project_rows(Dk_new, budget, l1_ratio)
-        new_cn = budget - _enet_norm_rows(Dk_new, l1_ratio)
-        cn_out[pl.ds(j, 1), :] = new_cn.reshape(1, 1)
-        D_out[pl.ds(fold * j, fold), :] = Dk_new
-        return carry
+    # Python loops -> full static unroll (k <= 128 rows per kernel
+    # call); all slice offsets below are compile-time constants, so
+    # static *lane* slices are legal (only dynamic lane slices are
+    # slow in Mosaic).
+    for j0 in range(0, k, p):
+        pa = min(p, k - j0)         # tail panel may be short
+        # panel weights: W[a*fold + f, fold*i + g] = C[j0+a, i][f == g]
+        # assembled from C's pre-repeated rows with one tiny one-hot
+        # matmul (Rep) and the constant fold-selector tile (Ttile)
+        C_sub = C_rep_ref[pl.ds(j0, pa), :]               # (pa, fold*k)
+        Rep = Rep_ref[0:pa * fold, 0:pa]
+        W = jnp.dot(Rep, C_sub,
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.DEFAULT) * Ttile_ref[0:pa * fold, :]
+        # the panel contraction excludes the panel's own columns: those
+        # rows mutate during the inner loop and are re-contracted
+        # per atom below
+        col = lax.broadcasted_iota(jnp.int32, W.shape, 1)
+        W_out = jnp.where((col < fold * j0) | (col >= fold * (j0 + pa)),
+                          W, 0.0)
+        # Out-of-panel residual contributions for all pa atoms in ONE
+        # full-height MXU contraction against the in-place-updated D
+        # buffer (delayed-update BCD: updated rows for visited atoms,
+        # original rows for the rest — exactly the right-looking
+        # recurrence by telescoping). DEFAULT (single-pass bf16) MXU
+        # precision, pinned explicitly: the bf16 rounding of D rows
+        # entering this contraction is the same noise class as the
+        # block driver's own DEFAULT residual GEMM recompute, and ~6x
+        # cheaper than HIGHEST in Mosaic. Objective-trajectory parity
+        # vs the exact lax path is pinned on-device by
+        # tests/test_tpu_quality (rel diff <= 1.4e-3 over masked/full
+        # x l2/l1-ball fits). Pinning also keeps the kernel lowerable
+        # when traced under jax.default_matmul_precision('high') (the
+        # ops.precision context): Mosaic has no lowering for HIGH dots.
+        if 'c8' in _ABLATE:
+            c8 = jnp.zeros((pa * fold, D_out.shape[1]), jnp.float32)
+        else:
+            c8 = jnp.dot(W_out, D_out[:],
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.DEFAULT)  # (pa*fold, spp)
+        G_pan = G_in[pl.ds(fold * j0, fold * pa), :]      # value
+        D_pan = D_out[pl.ds(fold * j0, fold * pa), :]     # ORIGINAL rows
+        # panel-entry cn rows: each row is written exactly once (by its
+        # own atom), so the pristine cn_in slice is always the correct
+        # budget source — reading it (instead of the evolving `cn`
+        # value) keeps the output-assembly `where` chain off the
+        # per-atom solve's critical path
+        cn_pan = cn_in[pl.ds(j0, pa), :]                  # (pa, 1)
+        # panel-wide old norms, vectorized: lane-reduce each folded row,
+        # then collapse each fold-group with the one-hot Rep columns
+        av = jnp.abs(D_pan)
+        lanered = jnp.sum(av * (l1_ratio + (1.0 - l1_ratio) * av),
+                          axis=1, keepdims=True)          # (pa*fold, 1)
+        norms_old = jnp.sum(Rep * lanered, axis=0,
+                            keepdims=True)                # (1, pa)
+        # panel residual, all k atoms' contributions at panel-entry
+        # state (own rows included — re-added per atom below): the
+        # in-panel part in one (pa*fold, pa*fold) panel matmul
+        W_in_all = W[:, fold * j0:fold * (j0 + pa)]
+        R_pan = G_pan - c8 - jnp.dot(
+            W_in_all, D_pan, preferred_element_type=jnp.float32,
+            precision=lax.Precision.DEFAULT)
+        # fold-tiler: Tp @ delta broadcasts a (fold, spp) row update to
+        # every fold-group of the panel (Mosaic cannot reshape/tile
+        # in-kernel; a K=fold matmul against tile(eye(fold)) can)
+        Tp = Ttile_ref[0:pa * fold, 0:fold]
+        new_rows = []
 
-    lax.fori_loop(0, k, body, 0, unroll=k if FULL_UNROLL else None)
+        for a in range(pa):
+            j = j0 + a
+            lo, hi = a * fold, (a + 1) * fold
+            Dk = D_pan[lo:hi, :]             # own row, original state
+            budget = jnp.sum(cn_pan[a:a + 1, 0:1]) + jnp.sum(
+                norms_old[0:1, a:a + 1])                  # 0-d scalar
+            Ckk = jnp.sum(Cd[j:j + 1, 0:1])               # 0-d scalar
+            # re-add own contribution (R_pan carries it at the original
+            # value: rank-1 passes below only fold in OTHER atoms'
+            # deltas before this row is read)
+            Rk = R_pan[lo:hi, :] + Ckk * Dk
+            good = Ckk > 1e-20
+            Dk_new = jnp.where(good, Rk / jnp.where(good, Ckk, 1.0), Dk)
+            if comp_pos:
+                Dk_new = jnp.maximum(Dk_new, 0.0)
+            if 'proj' not in _ABLATE:
+                Dk_new = _project_rows(Dk_new, budget, l1_ratio)
+            new_cn = budget - _enet_norm_rows(Dk_new, l1_ratio)
+            cn = jnp.where(row1 == j, new_cn, cn)
+            new_rows.append(Dk_new)
+            if a + 1 < pa:
+                # rank-1 panel-residual maintenance: pure VPU streaming
+                # over (pa*fold, spp) — the only sequential full-panel
+                # pass per atom
+                Ck_pan = jnp.sum(
+                    W[:, fold * j:fold * (j + 1)], axis=1,
+                    keepdims=True)                        # (pa*fold, 1)
+                delta_t = jnp.dot(Tp, Dk_new - Dk,
+                                  preferred_element_type=jnp.float32,
+                                  precision=lax.Precision.DEFAULT)
+                R_pan = R_pan - Ck_pan * delta_t
+        D_new_pan = (new_rows[0] if pa == 1
+                     else jnp.concatenate(new_rows, axis=0))
+        D_out[pl.ds(fold * j0, fold * pa), :] = D_new_pan
+    cn_out[:] = cn
 
 
 @functools.partial(jax.jit,
@@ -266,22 +342,26 @@ def _bcd_update_ordered(D_subset, grad, C, cn2, k, fold, comp_pos,
     # C row j in folded-lane layout: C_rep[j, fold*i + g] = C[j, i]
     C_rep = jnp.repeat(C, fold, axis=1) if fold > 1 else C
     Cdiag = jnp.diagonal(C).reshape(k, 1)
-    # fold-selector: T[f, fold*i + g] = [f == g]
+    p = min(PANEL_ATOMS, k)
+    # fold-selector tile: Ttile[a*fold + f, fold*i + g] = [f == g]
     T = (jnp.tile(jnp.eye(fold, dtype=D8.dtype), (1, k))
          if fold > 1 else jnp.ones((1, k), D8.dtype))
+    Ttile = jnp.tile(T, (p, 1))                     # (p*fold, fold*k)
+    # row-replicator one-hot: Rep[a*fold + f, a] = 1
+    Rep = jnp.repeat(jnp.eye(p, dtype=D8.dtype), fold, axis=0)
     kern = functools.partial(_kernel, k=k, fold=fold, comp_pos=comp_pos,
-                             l1_ratio=float(l1_ratio))
+                             l1_ratio=float(l1_ratio), p=p)
     D_new, cn_new = pl.pallas_call(
         kern,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[
             jax.ShapeDtypeStruct((k * fold, spp), D8.dtype),
             jax.ShapeDtypeStruct((k, 1), cn2.dtype),
         ],
-        input_output_aliases={3: 0, 5: 1},
+        input_output_aliases={4: 0, 6: 1},
         interpret=INTERPRET,
-    )(C_rep, Cdiag, T, D8, G8, cn2)
+    )(C_rep, Cdiag, Ttile, Rep, D8, G8, cn2)
     return D_new.reshape(k, sp)[:, :s], cn_new
 
 
