@@ -22,7 +22,8 @@ except Exception:  # pragma: no cover - absent in this image
 from sklearn.base import BaseEstimator
 
 __all__ = ["NumpyMasker", "BaseNilearnEstimator",
-            "check_embedded_masker", "HAS_NILEARN"]
+            "check_embedded_masker", "check_embedded_nifti_masker",
+            "HAS_NILEARN"]
 
 
 class NumpyMasker(BaseEstimator):
@@ -366,3 +367,8 @@ def check_embedded_masker(estimator):
     if masker.mask_img is not None and not hasattr(masker, 'mask_img_'):
         masker.fit()
     return masker
+
+
+# reference-named alias (modl/input_data/fmri/base.py:69); the native
+# generalisation accepts numpy/.npy masks as well as NIfTI ones
+check_embedded_nifti_masker = check_embedded_masker
