@@ -102,6 +102,16 @@ PROJ_ITERS = 30
 # (p*fold, spp) in-panel contraction — the only matmul left on the
 # sequential critical path, with a K dimension p/k the size.
 PANEL_ATOMS = 16
+# in-panel residual maintenance after each atom's update:
+# - 'grouped': the panel residual is held as per-atom (fold, spp)
+#   values; atom a's delta is folded into later atoms' rows with one
+#   scalar-FMA each (exact f32, pure VPU). Only ONE such FMA — the
+#   next atom's — sits on the sequential critical path; the rest are
+#   independent and schedule alongside it.
+# - 'panel': single (p*fold, spp) residual value updated with a
+#   K=fold one-hot tiling matmul + masked FMA per atom (an MXU
+#   round trip on the critical path).
+RANK1_MODE = 'grouped'
 
 
 def supported(k, s, dtype, comp_l1_ratio):
@@ -276,10 +286,21 @@ def _kernel(C_rep_ref, Cd_ref, Ttile_ref, Rep_ref, D_in, G_in, cn_in,
         R_pan = G_pan - c8 - jnp.dot(
             W_in_all, D_pan, preferred_element_type=jnp.float32,
             precision=lax.Precision.DEFAULT)
-        # fold-tiler: Tp @ delta broadcasts a (fold, spp) row update to
-        # every fold-group of the panel (Mosaic cannot reshape/tile
-        # in-kernel; a K=fold matmul against tile(eye(fold)) can)
-        Tp = Ttile_ref[0:pa * fold, 0:fold]
+        grouped = RANK1_MODE == 'grouped'
+        if grouped:
+            # per-atom residual rows as separate SSA values: atom a's
+            # delta folds into a later atom g's row with ONE exact
+            # scalar FMA R_list[g] -= C[g, a] * delta — no MXU tiling
+            # matmul on the critical path, and only the (a+1)-th FMA is
+            # serially needed; the rest overlap with the next solve
+            R_list = [R_pan[g * fold:(g + 1) * fold, :]
+                      for g in range(pa)]
+        else:
+            # fold-tiler: Tp @ delta broadcasts a (fold, spp) row
+            # update to every fold-group of the panel (Mosaic cannot
+            # reshape/tile in-kernel; a K=fold matmul against
+            # tile(eye(fold)) can)
+            Tp = Ttile_ref[0:pa * fold, 0:fold]
         new_rows = []
 
         for a in range(pa):
@@ -289,10 +310,10 @@ def _kernel(C_rep_ref, Cd_ref, Ttile_ref, Rep_ref, D_in, G_in, cn_in,
             budget = jnp.sum(cn_pan[a:a + 1, 0:1]) + jnp.sum(
                 norms_old[0:1, a:a + 1])                  # 0-d scalar
             Ckk = jnp.sum(Cd[j:j + 1, 0:1])               # 0-d scalar
-            # re-add own contribution (R_pan carries it at the original
-            # value: rank-1 passes below only fold in OTHER atoms'
-            # deltas before this row is read)
-            Rk = R_pan[lo:hi, :] + Ckk * Dk
+            # re-add own contribution (the residual carries it at the
+            # original value: maintenance below only folds in OTHER
+            # atoms' deltas before this row is read)
+            Rk = (R_list[a] if grouped else R_pan[lo:hi, :]) + Ckk * Dk
             good = Ckk > 1e-20
             Dk_new = jnp.where(good, Rk / jnp.where(good, Ckk, 1.0), Dk)
             if comp_pos:
@@ -303,16 +324,24 @@ def _kernel(C_rep_ref, Cd_ref, Ttile_ref, Rep_ref, D_in, G_in, cn_in,
             cn = jnp.where(row1 == j, new_cn, cn)
             new_rows.append(Dk_new)
             if a + 1 < pa:
-                # rank-1 panel-residual maintenance: pure VPU streaming
-                # over (pa*fold, spp) — the only sequential full-panel
-                # pass per atom
-                Ck_pan = jnp.sum(
-                    W[:, fold * j:fold * (j + 1)], axis=1,
-                    keepdims=True)                        # (pa*fold, 1)
-                delta_t = jnp.dot(Tp, Dk_new - Dk,
-                                  preferred_element_type=jnp.float32,
-                                  precision=lax.Precision.DEFAULT)
-                R_pan = R_pan - Ck_pan * delta_t
+                if grouped:
+                    delta = Dk_new - Dk
+                    for g in range(a + 1, pa):
+                        # C[j0+g, j] in folded-lane layout: any lane of
+                        # C_sub's fold*(j)-block of row g
+                        cga = jnp.sum(
+                            C_sub[g:g + 1, fold * j:fold * j + 1])
+                        R_list[g] = R_list[g] - cga * delta
+                else:
+                    # rank-1 panel-residual maintenance: one pass over
+                    # (pa*fold, spp) per atom
+                    Ck_pan = jnp.sum(
+                        W[:, fold * j:fold * (j + 1)], axis=1,
+                        keepdims=True)                    # (pa*fold, 1)
+                    delta_t = jnp.dot(Tp, Dk_new - Dk,
+                                      preferred_element_type=jnp.float32,
+                                      precision=lax.Precision.DEFAULT)
+                    R_pan = R_pan - Ck_pan * delta_t
         D_new_pan = (new_rows[0] if pa == 1
                      else jnp.concatenate(new_rows, axis=0))
         D_out[pl.ds(fold * j0, fold * pa), :] = D_new_pan
