@@ -100,8 +100,10 @@ PROJ_ITERS = 30
 # out-of-panel dictionary (amortised over p atoms, full-height MXU
 # operand at p*fold = 128 rows) plus a per-atom (fold, p*fold) x
 # (p*fold, spp) in-panel contraction — the only matmul left on the
-# sequential critical path, with a K dimension p/k the size.
-PANEL_ATOMS = 16
+# sequential critical path, with a K dimension p/k the size. p=8 won
+# both on-device A/Bs over 16/32, and the grouped maintenance below
+# favours small panels (its per-atom FMA count grows with p).
+PANEL_ATOMS = 8
 # in-panel residual maintenance after each atom's update:
 # - 'grouped': the panel residual is held as per-atom (fold, spp)
 #   values; atom a's delta is folded into later atoms' rows with one
