@@ -66,6 +66,36 @@ def test_bcd_kernel_matches_reference(comp_pos, l1r):
     np.testing.assert_allclose(np.asarray(cnn), cnr, atol=2e-5)
 
 
+@pytest.mark.parametrize("mode", ["grouped", "panel"])
+def test_rank1_modes_match_reference_multi_panel(mode):
+    """Both in-panel residual maintenance modes reproduce the sequential
+    reference across SEVERAL panels (k > PANEL_ATOMS exercises the
+    inter-panel delayed update and the panel-entry cn/budget reads)."""
+    k, s = 32, 80
+    rng = np.random.RandomState(1)
+    D = rng.randn(k, s).astype(np.float32)
+    D /= np.abs(D).sum(axis=1, keepdims=True)
+    C = (lambda A: (A @ A.T / k + np.eye(k)).astype(np.float32))(
+        rng.randn(k, k))
+    grad = rng.randn(k, s).astype(np.float32) * 0.1
+    R = (grad - C @ D).astype(np.float32)
+    cn = np.zeros(k, np.float32)
+    order = rng.permutation(k).astype(np.int32)
+    old_mode = bp.RANK1_MODE
+    bp.RANK1_MODE = mode
+    bp._bcd_update_ordered.clear_cache()
+    try:
+        Dn, cnn = bp.bcd_update(jnp.asarray(D), jnp.asarray(grad),
+                                jnp.asarray(C), jnp.asarray(cn),
+                                jnp.asarray(order), l1_ratio=1.0)
+    finally:
+        bp.RANK1_MODE = old_mode
+        bp._bcd_update_ordered.clear_cache()
+    Dref, cnr = _reference(D, R, C, cn, order, l1r=1.0)
+    np.testing.assert_allclose(np.asarray(Dn), Dref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cnn), cnr, atol=2e-5)
+
+
 def test_supported_gating():
     assert bp.supported(70, 16000, np.float32, 0.0)
     assert bp.supported(70, 16000, np.float32, 1.0)
