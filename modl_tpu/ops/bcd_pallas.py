@@ -44,13 +44,16 @@ Constraint geometries (static ``comp_l1_ratio``):
 
 - l2 ball (``== 0``, default for DictFact/ImageDictFact): closed-form
   norm scaling (enet.pyx:62-70);
-- l1 ball (``== 1``, the fMRI path): Newton iteration on the monotone
-  piecewise-linear KKT equation g(lam) = sum(relu(|v|-lam)) = r,
-  warm-started at the mean-shrinkage lower bound. Started left of the
-  root, Newton on a convex decreasing piecewise-linear function
-  converges monotonically and finitely (Condat-style); NEWTON_ITERS=10
-  with the warm start is f32-exact in practice and beats bisection's
-  fixed 40-step dependent-reduction chain ~4x;
+- l1 ball (``== 1``, the fMRI path): bracketed Newton on the convex
+  piecewise-linear KKT equation g(lam) = sum(relu(|v|-lam)) = r.
+  The bracket starts at [mean-shrinkage lower bound, chord-root upper
+  bound]; each iteration probes max(tangent step, midpoint) and
+  tightens the rejected side with a secant. Plain left-started Newton
+  is exact in the common shallow-shrinkage regime but can sit ~2x
+  short of lam* after 6 iterations in the deep-shrinkage regime
+  (rarely-used atom against a large gradient); the bracketed form is
+  machine-exact shallow and <= ~1e-2 relative deep at the same 6
+  evaluations, and beats plain bisection's fixed 40-step chain ~6x;
 - general elastic-net (``0 < ratio < 1``): fixed-count bisection on the
   monotone KKT equation (2^-30 relative precision, pure VPU reductions).
 
@@ -87,11 +90,12 @@ FOLD = 8
 # fold only when rows are wide enough for the relayout to pay off
 FOLD_MIN_S = 2048
 
-# Newton steps for the l1-ball threshold: warm-started at the
-# mean-shrinkage bound, ~4 suffice in practice; 6 leaves margin, and
-# under-convergence is made feasible by the safeguard scale below (the
-# Newton chain sits on the kernel's per-atom critical path, ~0.2 us per
-# iteration, so the 10 -> 6 trim is a measurable win at k ~ 1000)
+# bracketed-Newton evaluations for the l1-ball threshold (see
+# _project_rows): machine-exact in the shallow-shrinkage regime and
+# <= ~1e-2 relative in adversarial deep-shrinkage rows at 6; residual
+# under-convergence is one-sided and made feasible by the safeguard
+# scale below. The chain sits on the kernel's per-atom critical path
+# (~0.25 us per evaluation at k ~ 1000), so the count is kept minimal.
 NEWTON_ITERS = 6
 # bisection steps for the general enet-ball threshold
 PROJ_ITERS = 30
@@ -156,30 +160,56 @@ def _project_rows(v, radius, l1_ratio):
         return out
 
     if l1_ratio == 1.0:
-        # Newton on g(lam) = sum(relu(b - lam)), warm-started at the
-        # mean-shrinkage bound lam0 = (||b||_1 - r)/m: since
-        # g(lam) >= ||b||_1 - m lam, g(lam0) >= r, so lam0 sits left of
-        # the root and Newton stays monotone and finitely convergent on
-        # the piecewise-linear g (each dependent-reduction iteration in
-        # VMEM costs ~0.25 us/atom, so the warm start buys real time).
+        # Bracketed Newton on g(lam) = sum(relu(b - lam)) = r.
+        # Plain left-started Newton visits breakpoint segments one at a
+        # time and can need >10 iterations in the deep-shrinkage regime
+        # (||b||_1 >> r: a rarely-used atom re-solved against a large
+        # gradient), leaving lam up to ~2x short (measured on Gaussian/
+        # heavy-tailed rows at s=1e4). Keeping a true bracket
+        # [lo, hi] with g(lo) >= r >= g(hi) and stepping to
+        # max(newton(lo), midpoint) halves the interval whenever the
+        # tangent step stalls — bisection-rate worst case, Newton-rate
+        # finish — at the same one (g, n_pos) evaluation per iteration.
         b = jnp.abs(v)
         norm = jnp.sum(b)
         m = float(np.prod(v.shape))
-        lam0 = jnp.maximum((norm - radius) / m, 0.0)
+        # g(lam) >= ||b||_1 - m*lam  =>  g(lo0) >= r; g(hi0) = 0 <= r
+        lo0 = jnp.maximum((norm - radius) / m, 0.0)
+        hi0 = jnp.max(b)
 
-        def body(_, lam):
+        def eval_g(lam):
             t = b - lam
             pos = (t > 0).astype(jnp.float32)
-            g = jnp.sum(t * pos)
-            n_pos = jnp.maximum(jnp.sum(pos), 1.0)
-            return jnp.maximum(lam + (g - radius) / n_pos, 0.0)
+            return jnp.sum(t * pos), jnp.maximum(jnp.sum(pos), 1.0)
 
-        lam = lax.fori_loop(0, NEWTON_ITERS, body, lam0)
+        glo0, nlo0 = eval_g(lo0)
+        # chord (secant) root as the initial upper bound: the chord
+        # through (lo0, g(lo0)) and (hi0, 0) lies above the convex g,
+        # so its crossing of r sits right of the root — usually FAR
+        # tighter than max(b), which keeps the midpoint probes useful
+        hi1 = jnp.clip(lo0 + (glo0 - radius) * (hi0 - lo0)
+                       / jnp.maximum(glo0, tiny), lo0, hi0)
+
+        def body(_, carry):
+            lo, glo, nlo, hi = carry
+            newton = lo + (glo - radius) / nlo      # <= root (convexity)
+            t = jnp.clip(jnp.maximum(newton, 0.5 * (lo + hi)), lo, hi)
+            g, n = eval_g(t)
+            left = g >= radius                      # t still left of root
+            # on rejection the secant through (lo, glo), (t, g) gives a
+            # tighter valid upper bound than t itself
+            sec = lo + (glo - radius) * (t - lo) / jnp.maximum(glo - g,
+                                                               tiny)
+            return (jnp.where(left, t, lo), jnp.where(left, g, glo),
+                    jnp.where(left, n, nlo),
+                    jnp.where(left, hi, jnp.minimum(t, sec)))
+
+        lo, glo, nlo, _ = lax.fori_loop(
+            0, NEWTON_ITERS, body, (lo0, glo0, nlo0, hi1))
+        lam = jnp.maximum(lo + (glo - radius) / nlo, 0.0)
         w = jnp.maximum(b - lam, 0.0)
-        # Newton from the left never overshoots lam*, so the only
-        # failure mode of a capped iteration count is one-sided:
-        # lam < lam* and ||w||_1 > radius (conceivable for adversarial
-        # rows whose breakpoint count exceeds NEWTON_ITERS). A final
+        # the final tangent step never overshoots lam*, so any residual
+        # under-convergence is one-sided (||w||_1 > radius); a final
         # scale guarantees feasibility — exactly a no-op at convergence
         # — so the comp_norm budget bookkeeping can never go negative.
         norm_w = jnp.sum(w)
