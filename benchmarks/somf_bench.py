@@ -46,15 +46,31 @@ def run_one(name, n_features, k, batch, reduction, code_l1, comp_l1,
     Xi = df._ingest_features(jnp.asarray(X[:nb * batch]))
     Xb = Xi.reshape(nb, batch, -1)
     ib = jnp.arange(nb * batch, dtype=jnp.int32).reshape(nb, batch)
-    state = df._state
-    for _ in range(3):  # compile + absorb the backend slow-start
-        state = somf_scan(state, Xb, ib, df._cfg)
-        sync(state.D)
-    t0 = time.perf_counter()
-    for _ in range(epochs):
-        state = somf_scan(state, Xb, ib, df._cfg)
-    sync(state.D)
-    dt = (time.perf_counter() - t0) / epochs
+    # slope timing: the same single-dispatch program at two rep counts
+    # cancels every per-call constant (docs/performance.md take-away 3)
+    import functools
+
+    from jax import lax
+    cfg = df._cfg
+
+    @functools.partial(jax.jit, static_argnames=('reps',))
+    def many(state, Xb, ib, reps):
+        return lax.fori_loop(
+            0, reps, lambda i, st: somf_scan(st, Xb, ib, cfg), state)
+
+    lo, hi = 1, 1 + epochs
+    for reps in (lo, hi):   # compile both + absorb the slow-start
+        sync(many(df._state, Xb, ib, reps).D)
+
+    def timed(reps):
+        best = float('inf')
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sync(many(df._state, Xb, ib, reps).D)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (timed(hi) - timed(lo)) / (hi - lo)
     print(json.dumps({
         "bench": name,
         "ms_per_batch": round(dt / nb * 1000, 3),
