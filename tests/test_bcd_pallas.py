@@ -103,6 +103,35 @@ def test_supported_gating():
     assert not bp.supported(1024, 16000, np.float32, 0.0)  # VMEM budget
 
 
+def test_l1_projection_accuracy_both_regimes():
+    """The bracketed-Newton threshold tracks the exact (sort-based)
+    projection: machine-exact in the shallow-shrinkage regime and
+    within ~1e-2 relative on deep-shrinkage heavy-tailed rows (plain
+    left-started Newton measured up to ~2x short of lam* there)."""
+    from modl_tpu.ops.enet import enet_projection
+    rng = np.random.RandomState(7)
+    s = 4096
+    cases = []
+    for kind in range(3):
+        if kind == 0:
+            v = rng.randn(s)                      # deep: ||v||_1 >> r
+        elif kind == 1:
+            v = rng.laplace(size=s)               # deep heavy-tailed
+        else:
+            v = rng.randn(s) * 0.02               # shallow: mild shrink
+        cases.append(v.astype(np.float32))
+    for kind, v in enumerate(cases):
+        radius = 1.0 if kind < 2 else 0.6 * np.abs(v).sum()
+        got = np.asarray(bp._project_rows(jnp.asarray(v[None, :]),
+                                          jnp.float32(radius), 1.0))[0]
+        want = np.asarray(enet_projection(jnp.asarray(v), radius, 1.0))
+        scale = max(np.abs(want).max(), 1e-30)
+        tol = 2e-2 if kind < 2 else 1e-5
+        assert np.abs(got - want).max() / scale < tol, (kind, np.abs(
+            got - want).max() / scale)
+        assert np.abs(got).sum() <= radius * (1 + 1e-5)
+
+
 def test_l1_projection_feasible_on_adversarial_rows():
     """The kernel's Newton l1 projection is capped at NEWTON_ITERS;
     under-convergence is one-sided (lam < lam*), so the safeguard scale
