@@ -270,18 +270,16 @@ def _kernel(C_rep_ref, Cd_ref, Ttile_ref, Rep_ref, D_in, G_in, cn_in,
         W = jnp.dot(Rep, C_sub,
                     preferred_element_type=jnp.float32,
                     precision=lax.Precision.DEFAULT) * Ttile_ref[0:pa * fold, :]
-        # the panel contraction excludes the panel's own columns: those
-        # rows mutate during the inner loop and are re-contracted
-        # per atom below
-        col = lax.broadcasted_iota(jnp.int32, W.shape, 1)
-        W_out = jnp.where((col < fold * j0) | (col >= fold * (j0 + pa)),
-                          W, 0.0)
-        # Out-of-panel residual contributions for all pa atoms in ONE
-        # full-height MXU contraction against the in-place-updated D
-        # buffer (delayed-update BCD: updated rows for visited atoms,
-        # original rows for the rest — exactly the right-looking
-        # recurrence by telescoping). DEFAULT (single-pass bf16) MXU
-        # precision, pinned explicitly: the bf16 rounding of D rows
+        # Residual contributions of ALL k atoms for every atom in the
+        # panel, in ONE full-height MXU contraction against the
+        # in-place-updated D buffer: out-of-panel rows enter at their
+        # delayed-update values (updated for already-visited panels,
+        # original for the rest — exactly the right-looking recurrence
+        # by telescoping), and in-panel rows enter at panel-entry
+        # (original) values because D_out's panel rows are only written
+        # at panel END — which is precisely what the per-atom re-add /
+        # grouped maintenance below expects. DEFAULT (single-pass bf16)
+        # MXU precision, pinned explicitly: the bf16 rounding of D rows
         # entering this contraction is the same noise class as the
         # block driver's own DEFAULT residual GEMM recompute, and ~6x
         # cheaper than HIGHEST in Mosaic. Objective-trajectory parity
@@ -293,7 +291,7 @@ def _kernel(C_rep_ref, Cd_ref, Ttile_ref, Rep_ref, D_in, G_in, cn_in,
         if 'c8' in _ABLATE:
             c8 = jnp.zeros((pa * fold, D_out.shape[1]), jnp.float32)
         else:
-            c8 = jnp.dot(W_out, D_out[:],
+            c8 = jnp.dot(W, D_out[:],
                          preferred_element_type=jnp.float32,
                          precision=lax.Precision.DEFAULT)  # (pa*fold, spp)
         G_pan = G_in[pl.ds(fold * j0, fold * pa), :]      # value
@@ -312,12 +310,8 @@ def _kernel(C_rep_ref, Cd_ref, Ttile_ref, Rep_ref, D_in, G_in, cn_in,
         norms_old = jnp.sum(Rep * lanered, axis=0,
                             keepdims=True)                # (1, pa)
         # panel residual, all k atoms' contributions at panel-entry
-        # state (own rows included — re-added per atom below): the
-        # in-panel part in one (pa*fold, pa*fold) panel matmul
-        W_in_all = W[:, fold * j0:fold * (j0 + pa)]
-        R_pan = G_pan - c8 - jnp.dot(
-            W_in_all, D_pan, preferred_element_type=jnp.float32,
-            precision=lax.Precision.DEFAULT)
+        # state (own rows included — re-added per atom below)
+        R_pan = G_pan - c8
         grouped = RANK1_MODE == 'grouped'
         if grouped:
             # per-atom residual rows as separate SSA values: atom a's
