@@ -336,12 +336,16 @@ def _kernel(C_rep_ref, Cd_ref, Ttile_ref, Rep_ref, D_in, G_in, cn_in,
             budget = jnp.sum(cn_pan[a:a + 1, 0:1]) + jnp.sum(
                 norms_old[0:1, a:a + 1])                  # 0-d scalar
             Ckk = jnp.sum(Cd[j:j + 1, 0:1])               # 0-d scalar
+            good = Ckk > 1e-20
+            # reciprocal off the critical path: the solve below becomes
+            # a multiply (VPU divides are several times slower), and
+            # Ckk/good/inv depend only on panel-entry values
+            inv = 1.0 / jnp.where(good, Ckk, 1.0)
             # re-add own contribution (the residual carries it at the
             # original value: maintenance below only folds in OTHER
             # atoms' deltas before this row is read)
             Rk = (R_list[a] if grouped else R_pan[lo:hi, :]) + Ckk * Dk
-            good = Ckk > 1e-20
-            Dk_new = jnp.where(good, Rk / jnp.where(good, Ckk, 1.0), Dk)
+            Dk_new = jnp.where(good, Rk * inv, Dk)
             if comp_pos:
                 Dk_new = jnp.maximum(Dk_new, 0.0)
             if 'proj' not in _ABLATE:
