@@ -96,6 +96,55 @@ def test_rank1_modes_match_reference_multi_panel(mode):
     np.testing.assert_allclose(np.asarray(cnn), cnr, atol=2e-5)
 
 
+def test_block_driver_pallas_matches_lax_path():
+    """When k exceeds the whole-matrix VMEM budget, _update_dict runs
+    the block-recomputed driver: per 'max_block' rows of the visit
+    order, OUT-of-block residual contributions are pre-subtracted with
+    the in-block C columns zeroed and the kernel reconstructs in-block
+    rows itself (the k=1024 HCP plumbing). Shrinking VMEM_BUDGET forces
+    that path at toy shapes; its trajectory must equal the pure-lax
+    block path, which is itself pinned to the numpy oracle."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from modl_tpu import DictFact
+    from modl_tpu.decomposition._step import somf_step_jit
+
+    rng = np.random.RandomState(2)
+    k, n, b = 16, 128, 32
+    X = rng.randn(4 * b, n).astype(np.float32)
+    df = DictFact(n_components=k, reduction=2, code_alpha=1e-3,
+                  comp_l1_ratio=1.0, random_state=0, batch_size=b,
+                  dtype=np.float32)
+    df.prepare(n_samples=4 * b, X=X)
+    s = df._cfg.len_subset
+    old_budget = bp.VMEM_BUDGET
+    # between the k=8 and k=16 whole-matrix footprints at this s
+    bp.VMEM_BUDGET = (2 * 8 * s + bp.FOLD * 8 * 8 + 8 * 8) * 4 + 256
+    try:
+        assert not bp.supported(k, s, np.float32, 1.0)
+        assert 0 < bp.max_block(k, s, np.float32) < k
+        states = {}
+        for use_pallas in (True, False):
+            cfg = dataclasses.replace(df._cfg, use_pallas=use_pallas)
+            st = df._state
+            for step in range(3):
+                Xb = jnp.asarray(X[step * b:(step + 1) * b])
+                idx = jnp.arange(step * b, (step + 1) * b,
+                                 dtype=jnp.int32)
+                st = somf_step_jit(st, Xb, idx, cfg)
+            states[use_pallas] = st
+    finally:
+        bp.VMEM_BUDGET = old_budget
+    np.testing.assert_allclose(np.asarray(states[True].D),
+                               np.asarray(states[False].D),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(states[True].comp_norm),
+                               np.asarray(states[False].comp_norm),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_supported_gating():
     assert bp.supported(70, 16000, np.float32, 0.0)
     assert bp.supported(70, 16000, np.float32, 1.0)
