@@ -184,6 +184,38 @@ def bench_hcp1024():
     return n_samples / _scan_epoch_seconds(df, Xb, ib, lo=1, hi=6)
 
 
+def bench_somf_vs_omf(extra):
+    """Lean 2-point version of benchmarks/somf_vs_omf.py: wall-clock for
+    SOMF (r=12) to reach the objective OMF (r=1) attains after 5 epochs
+    — the reference's headline "order of magnitude faster than OMF"
+    claim (/root/reference/README.md:10), measured with identical data,
+    estimator, and init (random dictionary — data-row init converges
+    before the first epoch ends and leaves nothing to compare)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax.numpy as jnp
+
+    from benchmarks.somf_vs_omf import (K, N_FEATURES, _planted, run_one,
+                                        time_to)
+
+    n_train, n_test = 2000, 500
+    Xall = _planted(n_train + n_test, N_FEATURES, seed=0)
+    X, Xt = Xall[:n_train], jnp.asarray(Xall[n_train:])
+    dict_init = np.random.RandomState(42).randn(
+        K, N_FEATURES).astype(np.float32)
+    traj_omf = run_one(1, X, Xt, dict_init, epochs=5)
+    traj_somf = run_one(12, X, Xt, dict_init, epochs=14)
+    target = traj_omf[-1][1]
+    t_somf = time_to(traj_somf, target)
+    extra["somf_vs_omf_target_obj"] = round(target, 4)
+    extra["somf_vs_omf_omf_s"] = round(traj_omf[-1][0], 3)
+    if t_somf:
+        extra["somf_vs_omf_speedup"] = round(traj_omf[-1][0] / t_somf, 2)
+    else:
+        extra["somf_vs_omf_speedup"] = None
+
+
 # ---------------------------------------------------------------------
 # MovieLens-10M-scale recsys: time to RMSE target (BASELINE.md:25)
 # ---------------------------------------------------------------------
@@ -544,6 +576,10 @@ def main():
         bench_fmri_epoch(extra)
     except Exception as e:
         extra["fmri_error"] = repr(e)[:200]
+    try:
+        bench_somf_vs_omf(extra)
+    except Exception as e:
+        extra["somf_vs_omf_error"] = repr(e)[:200]
     try:
         bench_multicore_model(tpu_sps, extra)
     except Exception as e:
