@@ -23,7 +23,7 @@ from sklearn.base import BaseEstimator
 
 __all__ = ["NumpyMasker", "BaseNilearnEstimator",
             "check_embedded_masker", "check_embedded_nifti_masker",
-            "HAS_NILEARN"]
+            "safe_to_filename", "HAS_NILEARN"]
 
 
 class NumpyMasker(BaseEstimator):
@@ -234,6 +234,18 @@ def _butterworth(data, t_r, low_pass, high_pass, order=5):
     else:
         sos = butter(order, high_pass / nyq, btype='high', output='sos')
     return sosfiltfilt(sos, data, axis=0)
+
+
+def safe_to_filename(img, filename):
+    """Save ``img`` without mutating it (reference base.py:64-66).
+
+    ``nibabel`` may update an image's header in place during
+    serialisation; saving a deep copy keeps cached/proxied images
+    byte-identical for joblib hashing.
+    """
+    import copy
+    img = copy.deepcopy(img)
+    img.to_filename(filename)
 
 
 def _load_img(img):

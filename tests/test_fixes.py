@@ -53,3 +53,26 @@ def test_picklable_nifti_roundtrip(tmp_path):  # pragma: no cover
     img = cls(np.zeros((2, 2, 2), np.float32), np.eye(4))
     img2 = pickle.loads(pickle.dumps(img))
     assert np.allclose(np.asanyarray(img2.dataobj), 0)
+
+
+def test_safe_to_filename_saves_a_copy(tmp_path):
+    """safe_to_filename serialises a deep copy (reference base.py:64-66):
+    the original image object must be untouched by save-time header
+    mutation."""
+    from modl_tpu.input_data.fmri.base import safe_to_filename
+
+    class FakeImg:
+        def __init__(self):
+            self.header = {"dirty": False}
+            self.saved_to = None
+
+        def to_filename(self, filename):
+            self.header["dirty"] = True          # save-time mutation
+            with open(filename, "w") as f:
+                f.write("img")
+
+    img = FakeImg()
+    out = tmp_path / "img.nii"
+    safe_to_filename(img, str(out))
+    assert out.read_text() == "img"
+    assert img.header["dirty"] is False          # original untouched
