@@ -26,3 +26,25 @@ jax.config.update("jax_enable_x64", True)
 import sys  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+_last_module = [None]
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_between_modules(request):
+    """Drop compiled-executable caches at module boundaries.
+
+    A single pytest process compiles ~1000 XLA:CPU programs across the
+    suite; leaving them all live eventually segfaults LLVM's JIT inside
+    ``backend_compile_and_load`` (observed on 1-core boxes around the
+    70% mark — the per-file runs are unaffected). Per-module clearing
+    keeps the live-executable count bounded at no measurable cost: each
+    file's programs are only reused within that file anyway.
+    """
+    mod = request.node.nodeid.split("::", 1)[0]
+    if _last_module[0] is not None and mod != _last_module[0]:
+        jax.clear_caches()
+    _last_module[0] = mod
+    yield
