@@ -39,6 +39,7 @@ from sklearn.utils.validation import check_is_fitted
 
 from ..ops.enet import enet_scale
 from ..ops.sampler import init_sampler_state
+from ..utils.system import enable_compilation_cache
 from ._step import (SomfConfig, SomfState, apply_permutation, compute_code,
                     objective_value, somf_scan, somf_step_jit)
 
@@ -356,6 +357,7 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
 
     def prepare(self, n_samples=None, n_features=None, dtype=None, X=None):
         """Allocate all learner state (dict_fact.py:381-489)."""
+        enable_compilation_cache()
         if X is not None:
             X = check_array(X, order='C', dtype=[np.float32, np.float64])
             if dtype is None:

@@ -35,6 +35,7 @@ from sklearn.utils import check_array, check_random_state, gen_batches
 
 from ..ops.precision import precise
 from ..ops.weights import batch_weight
+from ..utils.system import enable_compilation_cache
 
 __all__ = ["RecsysDictFact", "compute_biases", "rmse"]
 
@@ -400,6 +401,7 @@ class RecsysDictFact(BaseEstimator):
         self.mesh = mesh
 
     def fit(self, X, y=None):
+        enable_compilation_cache()
         if not sp.issparse(X):
             X = sp.csr_matrix(X)
         X = check_array(X, accept_sparse='csr',

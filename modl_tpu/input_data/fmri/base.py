@@ -6,6 +6,7 @@ optional here: the native path is ``NumpyMasker`` — a boolean 3-D mask
 over 4-D arrays / ``.npy`` files (the TPU-friendly raw pipeline; NIfTI
 handling delegates to nilearn when importable).
 """
+import copy
 import inspect
 import os
 import warnings
@@ -243,7 +244,6 @@ def safe_to_filename(img, filename):
     serialisation; saving a deep copy keeps cached/proxied images
     byte-identical for joblib hashing.
     """
-    import copy
     img = copy.deepcopy(img)
     img.to_filename(filename)
 

@@ -8,6 +8,9 @@ oracles can be checked at float64 like the reference test-suite.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Don't let estimator fits under test write a persistent compilation
+# cache (utils/system.py::enable_compilation_cache honors '' = off).
+os.environ.setdefault("MODL_JAX_CACHE", "")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -29,11 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
 
-_last_module = [None]
-
-
-@pytest.fixture(autouse=True)
-def _clear_jax_caches_between_modules(request):
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
     """Drop compiled-executable caches at module boundaries.
 
     A single pytest process compiles ~1000 XLA:CPU programs across the
@@ -41,10 +41,9 @@ def _clear_jax_caches_between_modules(request):
     ``backend_compile_and_load`` (observed on 1-core boxes around the
     70% mark — the per-file runs are unaffected). Per-module clearing
     keeps the live-executable count bounded at no measurable cost: each
-    file's programs are only reused within that file anyway.
+    file's programs are only reused within that file anyway. Module
+    scoping (teardown-side clear) stays correct under plugins that
+    interleave tests across modules (pytest-randomly/xdist).
     """
-    mod = request.node.nodeid.split("::", 1)[0]
-    if _last_module[0] is not None and mod != _last_module[0]:
-        jax.clear_caches()
-    _last_module[0] = mod
     yield
+    jax.clear_caches()
