@@ -1,0 +1,85 @@
+"""HCP-1024 step timing harness (slope-based, dispatch-free).
+
+Measures seconds/batch of the fused SOMF epoch scan at the reference's
+HCP configuration (exps/hcp/decompose_hcp.py:51-63: k=1024, n=2e5,
+reduction 20, batch 200, l1 dictionary ball) on the current backend.
+Used for on-device A/Bs of dictionary-update changes; bench.py carries
+the official number.
+
+Usage: python benchmarks/hcp_step_timing.py [--steps-hi 6] [--ablate X]
+"""
+import argparse
+import functools
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--lo', type=int, default=1)
+    ap.add_argument('--hi', type=int, default=6)
+    ap.add_argument('--k', type=int, default=1024)
+    ap.add_argument('--newton', type=int, default=None)
+    ap.add_argument('--ablate', type=str, default='')
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from modl_tpu.ops import bcd_pallas
+    if args.newton is not None:
+        bcd_pallas.NEWTON_ITERS = args.newton
+    if args.ablate:
+        bcd_pallas._ABLATE = frozenset(args.ablate.split(','))
+
+    from modl_tpu import DictFact
+    from modl_tpu.decomposition._step import somf_scan
+
+    n_samples, n_features, batch = 1200, 200_000, 200
+    rng = np.random.RandomState(0)
+    X = rng.randn(n_samples, n_features).astype(np.float32)
+    df = DictFact(n_components=args.k, reduction=20, code_alpha=3e-4,
+                  code_l1_ratio=0, comp_l1_ratio=1, learning_rate=0.92,
+                  batch_size=batch, random_state=0, dtype=np.float32,
+                  subset_sampling='window')
+    df.prepare(n_samples=n_samples, X=X)
+    nb = n_samples // batch
+    Xi = df._ingest_features(jnp.asarray(X))
+    Xb = Xi.reshape(nb, batch, -1)
+    ib = jnp.arange(nb * batch, dtype=jnp.int32).reshape(nb, batch)
+    cfg = df._cfg
+
+    @functools.partial(jax.jit, static_argnames=('reps',))
+    def many(state, Xb, ib, reps):
+        def body(i, st):
+            return somf_scan(st, Xb, ib, cfg)
+        return lax.fori_loop(0, reps, body, state)
+
+    def timed(reps):
+        best = float('inf')
+        for _ in range(3):
+            t0 = time.perf_counter()
+            st = many(df._state, Xb, ib, reps)
+            float(jnp.sum(st.D[0, :8]) + st.n_iter)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    for reps in (args.lo, args.hi):
+        st = many(df._state, Xb, ib, reps)
+        float(jnp.sum(st.D[0, :8]) + st.n_iter)
+    per_epoch = (timed(args.hi) - timed(args.lo)) / (args.hi - args.lo)
+    ms_batch = per_epoch / nb * 1e3
+    print(f"k={args.k} newton={args.newton or bcd_pallas.NEWTON_ITERS} "
+          f"ablate={sorted(bcd_pallas._ABLATE)}: "
+          f"{ms_batch:.2f} ms/batch, "
+          f"{n_samples / per_epoch:.0f} samples/s")
+
+
+if __name__ == '__main__':
+    main()
