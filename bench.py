@@ -541,6 +541,74 @@ def bench_fmri_epoch(extra):
             shutil.rmtree(d, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------
+# Absolute-terms accounting: MFU and HBM-roofline fractions
+# ---------------------------------------------------------------------
+
+V5E_PEAK_BF16_FLOPS = 197e12     # one v5e chip, bf16 MXU peak
+V5E_HBM_BPS = 819e9              # one v5e chip, HBM bandwidth
+
+
+def _somf_model_flops_per_batch(k, b, s, n):
+    """Mathematical (2*m*n*k) MXU FLOPs of one windowed SOMF batch.
+
+    Mirrors the stage table in docs/roofline_hcp.md; counts each GEMM
+    at its mathematical cost (the implementation's 3-pass f32 Gram is
+    an execution detail, not model work). The BCD dictionary update
+    contributes its driver out-of-block GEMM and the kernel's panel
+    reconstructions, each ~2*k^2*s across the k rows."""
+    flops = 0.0
+    flops += 2 * b * s * k            # masked Dx = Xs @ Ds.T
+    flops += 2 * k * k * s            # masked Gram G = Ds @ Ds.T
+    flops += (2 / 3) * k ** 3 + 4 * b * k * k   # Cholesky + 2 tri solves
+    flops += 2 * b * k * k            # C EMA (code.T @ code)
+    flops += 2 * k * b * s            # deferred-B window contribution
+    flops += 2 * k * b * n            # B segment materialisation,
+    #                                   amortised: 2*k*(T*b)*n / T
+    flops += 2 * k * k * s            # BCD driver out-of-block GEMM
+    flops += 2 * k * k * s            # BCD kernel panel contractions
+    return flops
+
+
+def _somf_model_bytes_per_batch(k, b, s, n):
+    """f32 HBM bytes one windowed SOMF batch must touch (lower bound):
+    the batch's feature window, read+write of the D and B windows
+    (statistics EMA + dictionary write-back), one extra read of the D
+    window for the Gram, and the amortised full-width B segment pass
+    (read+write of (k, n) once per T = segment batches, T*b*s = b*n)."""
+    f32 = 4
+    return f32 * (b * s            # X window
+                  + 4 * k * s      # D window r/w, B window r/w
+                  + k * s          # D window re-read for the Gram
+                  + 2 * k * n / max(n / s, 1.0))   # amortised B pass
+
+
+def bench_roofline(extra, adhd_sps):
+    """hcp1024_mfu / adhd70_hbm_frac: measured throughput divided by
+    the chip's bf16-peak FLOP model resp. HBM byte model (VERDICT r3
+    item 3). The FLOP/byte models are printed alongside so the derived
+    fractions are auditable."""
+    hcp_sps = extra.get("hcp1024_samples_per_s")
+    if hcp_sps:
+        b, k, n = 200, 1024, 200_000
+        s = n // 20
+        fl = _somf_model_flops_per_batch(k, b, s, n)
+        t_batch = b / hcp_sps
+        extra["hcp1024_model_gflop_per_batch"] = round(fl / 1e9, 1)
+        extra["hcp1024_mfu"] = round(
+            fl / t_batch / V5E_PEAK_BF16_FLOPS, 4)
+    if adhd_sps:
+        b, k, n = BATCH, N_COMPONENTS, N_FEATURES
+        s = n // REDUCTION
+        by = _somf_model_bytes_per_batch(k, b, s, n)
+        fl = _somf_model_flops_per_batch(k, b, s, n)
+        t_batch = b / adhd_sps
+        extra["adhd70_model_mb_per_batch"] = round(by / 1e6, 1)
+        extra["adhd70_hbm_frac"] = round(by / t_batch / V5E_HBM_BPS, 4)
+        extra["adhd70_mfu"] = round(
+            fl / t_batch / V5E_PEAK_BF16_FLOPS, 4)
+
+
 def bench_multicore_model(tpu_sps, extra):
     """Modeled multi-core baseline margins (BASELINE.md's north star is
     'vs MULTI-CORE Cython modl'; this host has 1 core, so the scaling
@@ -608,6 +676,10 @@ def main():
         bench_multicore_model(tpu_sps, extra)
     except Exception as e:
         extra["multicore_model_error"] = repr(e)[:200]
+    try:
+        bench_roofline(extra, tpu_sps)
+    except Exception as e:
+        extra["roofline_error"] = repr(e)[:200]
     print(json.dumps({
         "metric": "somf_adhd70_samples_per_s",
         "value": round(tpu_sps, 2),
