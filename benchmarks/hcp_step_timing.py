@@ -26,6 +26,12 @@ def main():
     ap.add_argument('--k', type=int, default=1024)
     ap.add_argument('--newton', type=int, default=None)
     ap.add_argument('--ablate', type=str, default='')
+    ap.add_argument('--stub', type=str, default='',
+                    choices=['', 'dict', 'kernel'],
+                    help="perf attribution (breaks exactness): 'dict' "
+                         "skips the dictionary update entirely, "
+                         "'kernel' keeps the block driver but makes "
+                         "the BCD kernel an identity")
     args = ap.parse_args()
 
     import jax
@@ -39,7 +45,17 @@ def main():
         bcd_pallas._ABLATE = frozenset(args.ablate.split(','))
 
     from modl_tpu import DictFact
+    import modl_tpu.decomposition._step as _step
     from modl_tpu.decomposition._step import somf_scan
+
+    if args.stub == 'dict':
+        _step._update_dict = (
+            lambda D, G, comp_norm, C, grad_subset, subset, w, order,
+            cfg, n_features, n_valid=None: (D, G, comp_norm))
+    elif args.stub == 'kernel':
+        _step._bcd_kernel_call = (
+            lambda cfg, D_blk, grad_blk, C_inner, cn, order:
+            (D_blk, cn))
 
     n_samples, n_features, batch = 1200, 200_000, 200
     rng = np.random.RandomState(0)
@@ -76,7 +92,7 @@ def main():
     per_epoch = (timed(args.hi) - timed(args.lo)) / (args.hi - args.lo)
     ms_batch = per_epoch / nb * 1e3
     print(f"k={args.k} newton={args.newton or bcd_pallas.NEWTON_ITERS} "
-          f"ablate={sorted(bcd_pallas._ABLATE)}: "
+          f"ablate={sorted(bcd_pallas._ABLATE)} stub={args.stub!r}: "
           f"{ms_batch:.2f} ms/batch, "
           f"{n_samples / per_epoch:.0f} samples/s")
 

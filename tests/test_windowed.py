@@ -355,3 +355,60 @@ def test_windowed_scan_deferred_B_matches_stepping(rand_size):
         # summation-reorder noise by its condition number
         tol = 1e-3 if name == 'comp_norm' else 1e-4
         assert rel < tol, f'{name}: rel {rel}'
+
+
+def test_windowed_stability_matches_gather_seed_sweep():
+    """Statistical validation of the windowed-sampler deviation
+    (dict_fact.py:21-30: subsets are circular windows of ONE fixed
+    feature order per fit, not uniform C(n, s) draws).
+
+    Protocol = the reference's own stability metric
+    (modl/decomposition/stability.py:7-30): fit several seeds per
+    sampler on noisy planted data hard enough that fits genuinely
+    vary (overcomplete k, l1 codes, 2 epochs), then compare the
+    within-group mean pairwise amari discrepancy of windowed vs
+    gather fits, and the cross-group discrepancy against both.
+    Overlapping distributions == the windowed layout does not change
+    what the estimator converges to, only how subsets are drawn.
+    Measured sweep recorded in docs/windowed_stability.md.
+    """
+    from modl_tpu.decomposition.stability import (amari_discrepency,
+                                                  mean_amari_discrepency)
+    rng = np.random.RandomState(7)
+    k_true = 6
+    code = rng.randn(300, k_true)
+    Q = rng.randn(k_true, 400)
+    X = (code @ Q
+         + np.sqrt(k_true) * rng.randn(300, 400)).astype(np.float32)
+
+    groups = {}
+    for mode in ('window', 'gather'):
+        dicts = []
+        for seed in range(4):
+            df = DictFact(n_components=8, reduction=4, code_alpha=1e-1,
+                          code_l1_ratio=1, random_state=seed,
+                          batch_size=50, n_epochs=2,
+                          subset_sampling=mode)
+            df.fit(X)
+            assert df._cfg.windowed == (mode == 'window')
+            dicts.append(df.components_)
+        groups[mode] = dicts
+
+    mw, sw = mean_amari_discrepency(groups['window'])
+    mg, sg = mean_amari_discrepency(groups['gather'])
+    cross = [amari_discrepency(a, b)
+             for a in groups['window'] for b in groups['gather']]
+    mc, sc = float(np.mean(cross)), float(np.std(cross))
+
+    # the problem must be hard enough that the metric has signal
+    assert mg > 5e-3, f'sweep degenerate: gather within-mean {mg}'
+    # overlapping distributions: each pair of the three means within
+    # 2 sigma of the other's spread (sigma floored at 20% of the
+    # means' scale so a freak zero-variance group cannot fail a
+    # healthy sweep)
+    floor = 0.2 * max(mw, mg, mc)
+    for a, b, spread in ((mw, mg, sw + sg), (mc, mw, sc + sw),
+                         (mc, mg, sc + sg)):
+        assert abs(a - b) < 2 * max(spread, floor), \
+            f'distributions separated: {mw}+-{sw} vs {mg}+-{sg}, ' \
+            f'cross {mc}+-{sc}'
