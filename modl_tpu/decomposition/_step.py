@@ -75,6 +75,19 @@ def _host_scatter_set(arr, idx, val):
         return arr.at[_to_host(idx)].set(_to_host(val))
 
 
+def _keep_dp_sharded(x, cfg):
+    """Constrain a per-sample state leaf ((n_samples, ...)) to stay
+    dp-sharded under SPMD (no-op off-mesh / on indivisible axes)."""
+    if x is None or cfg.mesh is None:
+        return x
+    dp = cfg.mesh.shape.get('dp', 1)
+    if dp <= 1 or x.shape[0] % dp != 0:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return lax.with_sharding_constraint(
+        x, NamedSharding(cfg.mesh, P('dp')))
+
+
 class SomfState(NamedTuple):
     """All learner state (mirrors the attribute list dict_fact.py:223-249)."""
     D: jax.Array                    # (k, n_features) dictionary
@@ -503,6 +516,15 @@ def somf_step_inner(state: SomfState, X, sample_indices, subset, order,
         state.D, state.G, state.comp_norm, C, grad_subset, subset, w,
         order, cfg, n_features, n_valid=n_valid)
 
+    # keep the per-sample statistics dp-sharded through the step: their
+    # scatter updates at global sample indices otherwise let GSPMD
+    # choose (and it picks replicated), un-sharding the one state leaf
+    # that grows with the dataset (G_avg, (n_samples, k, k) —
+    # parallel/mesh.py::_spec_for_leaf)
+    code = _keep_dp_sharded(code, cfg)
+    Dx_avg = _keep_dp_sharded(Dx_avg, cfg)
+    if not cfg.average_offload:
+        G_avg = _keep_dp_sharded(G_avg, cfg)
     state = state._replace(D=D, C=C, B=B, G=G, comp_norm=comp_norm,
                            code=code, Dx_avg=Dx_avg, G_avg=G_avg,
                            n_iter=n_iter, sample_n_iter=sample_n_iter)

@@ -350,7 +350,14 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
             len_max=len_max,
             use_pallas=use_pallas,
             code_solver=code_solver,
-            average_offload=bool(self.average_offload),
+            # on a mesh the host-offload machinery is replaced by dp
+            # sharding of the per-sample statistics (parallel/mesh.py::
+            # _spec_for_leaf): G_average_ is split over devices, which
+            # is the same memory relief host offload exists for, without
+            # host round trips — so the segmented-offload code paths are
+            # disabled and the fit runs the resident step.
+            average_offload=bool(self.average_offload)
+            and self.mesh is None,
             windowed=windowed,
             n_features=int(n_features) if windowed else 0,
         )
@@ -441,9 +448,6 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
                         'average_offload requires a backend with host '
                         'memory-placement support (TPU); this backend '
                         'cannot execute it')
-                if self.mesh is not None:
-                    raise ValueError('average_offload is not supported '
-                                     'together with a device mesh')
                 # host-RAM residency (the reference's np.memmap spill for
                 # G_average_, dict_fact.py:431-439): allocate host-side -
                 # a transient device jnp.zeros would OOM at exactly the
@@ -709,7 +713,16 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
             if getattr(arr.sharding, 'memory_kind', None) == 'pinned_host':
                 from ._step import apply_permutation_host
                 return apply_permutation_host(arr, perm_dev)
-            return apply_permutation(arr, perm_dev)
+            out = apply_permutation(arr, perm_dev)
+            # the gather's output sharding is compiler-chosen
+            # (replicated); re-pin per-sample leaves to the dp axis so
+            # G_avg stays split across devices between epochs
+            if (self.mesh is not None
+                    and out.shape[0] % self.mesh.shape.get('dp', 1) == 0):
+                from jax.sharding import NamedSharding, PartitionSpec
+                out = jax.device_put(
+                    out, NamedSharding(self.mesh, PartitionSpec('dp')))
+            return out
 
         code = permute(st.code)
         G_avg = permute(st.G_avg)

@@ -350,15 +350,18 @@ def _kernel(C_rep_ref, Cd_ref, Ttile_ref, Rep_ref, D_in, G_in, cn_in,
                 Dk_new = jnp.maximum(Dk_new, 0.0)
             if 'proj' not in _ABLATE:
                 Dk_new = _project_rows(Dk_new, budget, l1_ratio)
-            new_cn = budget - _enet_norm_rows(Dk_new, l1_ratio)
+            if 'norm' in _ABLATE:
+                new_cn = budget
+            else:
+                new_cn = budget - _enet_norm_rows(Dk_new, l1_ratio)
             cn = jnp.where(row1 == j, new_cn, cn)
             new_rows.append(Dk_new)
-            if a + 1 < pa:
+            if a + 1 < pa and 'maint' not in _ABLATE:
                 if grouped:
                     delta = Dk_new - Dk
                     for g in range(a + 1, pa):
-                        # C[j0+g, j] in folded-lane layout: any lane of
-                        # C_sub's fold*(j)-block of row g
+                        # C[g]'s column j in folded-lane layout: any lane
+                        # of C_sub's fold*(j)-block of row g
                         cga = jnp.sum(
                             C_sub[g:g + 1, fold * j:fold * j + 1])
                         R_list[g] = R_list[g] - cga * delta

@@ -52,24 +52,35 @@ def make_mesh(n_dp=None, n_feat=1, devices=None):
     return Mesh(dev_array, ('dp', 'feat'))
 
 
-def _spec_for_leaf(path, leaf):
+def _spec_for_leaf(path, leaf, mesh):
     """PartitionSpec for each SomfState field (by field name)."""
     name = path[0].name if path else ''
     feature_sharded = {'D': P(None, 'feat'), 'B': P(None, 'feat'),
                        'box': P()}
-    sample_sharded = {'code': P(), 'Dx_avg': P(), 'G_avg': P(),
-                      'sample_n_iter': P()}
+    # per-sample statistics shard their n_samples axis over dp: the
+    # 'average' aggregators' G_average_ is (n_samples, k, k) — the one
+    # state leaf that grows with the dataset, and the reason the
+    # reference spills it to np.memmap (dict_fact.py:431-439). On a
+    # mesh, dp sharding gives the same per-device memory relief
+    # (n_samples * k^2 * 4 / dp bytes) without host round trips; the
+    # step's gather/EMA/scatter at the batch's global sample indices
+    # stays a pure layout change under GSPMD (trajectory pinned ==
+    # single-device by tests/test_parallel.py).
+    sample_sharded = {'code', 'Dx_avg', 'G_avg', 'sample_n_iter'}
     if name in feature_sharded:
         return feature_sharded[name]
     if name in sample_sharded:
-        return sample_sharded[name]
+        if _dp_ok(leaf.shape[0], mesh):
+            return P('dp')
+        return P()
     return P()
 
 
 def shard_state(state, mesh):
-    """Place a SomfState on the mesh: D/B feature-sharded, rest replicated."""
+    """Place a SomfState on the mesh: D/B feature-sharded, per-sample
+    statistics dp-sharded, the rest replicated."""
     def place(path, leaf):
-        spec = _spec_for_leaf(path, leaf)
+        spec = _spec_for_leaf(path, leaf, mesh)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map_with_path(place, state)
 

@@ -38,16 +38,35 @@ def test_average_offload_matches_resident():
     assert off._state.G_avg.sharding.memory_kind == 'pinned_host'
 
 
-def test_average_offload_rejects_unsupported_or_mesh():
+def test_average_offload_on_mesh_shards_instead():
+    """On a mesh, average_offload is subsumed by dp sharding of the
+    per-sample statistics (parallel/mesh.py::_spec_for_leaf): the fit
+    runs the resident sharded step and must match the single-device
+    resident trajectory (to SPMD reduction-order roundoff)."""
     from modl_tpu.parallel import make_mesh
     rng = np.random.RandomState(0)
-    X = rng.randn(40, 16)
-    df = DictFact(n_components=4, Dx_agg='average', G_agg='average',
-                  average_offload=True, mesh=make_mesh(n_dp=8, n_feat=1),
-                  random_state=0)
-    with pytest.raises(ValueError):
-        df.prepare(n_samples=40, X=X)
+    X = rng.randn(80, 24)
+    kwargs = dict(n_components=4, reduction=2, code_alpha=1e-3,
+                  comp_l1_ratio=0, Dx_agg='average', G_agg='average',
+                  n_epochs=2, batch_size=16, random_state=0)
+    ref = DictFact(**kwargs).fit(X)
+    df = DictFact(average_offload=True,
+                  mesh=make_mesh(n_dp=8, n_feat=1), **kwargs)
+    df.fit(X)
+    assert not df._cfg.average_offload  # offload machinery disabled
+    np.testing.assert_allclose(df.components_, ref.components_,
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(df.G_average_, ref.G_average_,
+                               rtol=1e-10, atol=1e-12)
+    # the big per-sample array is actually split over the dp axis
+    from jax.sharding import PartitionSpec as P
+    assert df._state.G_avg.sharding.spec == P('dp')
+
+
+def test_average_offload_rejects_unsupported_backend():
     if not _SUPPORTED:
+        rng = np.random.RandomState(0)
+        X = rng.randn(40, 16)
         df2 = DictFact(n_components=4, Dx_agg='average', G_agg='average',
                        average_offload=True, random_state=0)
         with pytest.raises(ValueError):
