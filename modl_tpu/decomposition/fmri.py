@@ -51,7 +51,7 @@ def _lazy_scan(imgs):
             n = img.shape[-1] if img.ndim == 4 else img.shape[0]
             dtype = img.dtype
         else:  # NIfTI path via nilearn
-            from nilearn._utils import check_niimg  # pragma: no cover
+            from nilearn._utils import check_niimg
             ni = check_niimg(img)
             n = ni.shape[3]
             dtype = ni.get_data_dtype()
@@ -440,7 +440,7 @@ class fMRIDictFact(fMRICoderMixin):
                 masker.mask_img_, np.ndarray):
             return int(masker.mask_img_.sum())
         # nilearn masker: count nonzeros in the mask image
-        from nilearn._utils import check_niimg  # pragma: no cover
+        from nilearn._utils import check_niimg
         return int(np.sum(np.asanyarray(
             check_niimg(masker.mask_img_).dataobj) != 0))
 

@@ -252,7 +252,7 @@ def _load_img(img):
     if isinstance(img, str):
         if img.endswith('.npy'):
             return np.load(img, mmap_mode='r')
-        if HAS_NILEARN:  # pragma: no cover
+        if HAS_NILEARN:
             from nilearn._utils import check_niimg
             return np.asanyarray(check_niimg(img).dataobj)
         raise ValueError('Cannot load %r without nibabel/nilearn' % img)
@@ -324,10 +324,10 @@ def check_embedded_masker(estimator):
     if is_masker:
         masker_class = mask.__class__
     elif (HAS_NILEARN and mask is not None
-          and not isinstance(mask, (np.ndarray, str))):  # pragma: no cover
+          and not isinstance(mask, (np.ndarray, str))):
         masker_class = MultiNiftiMasker
     elif (HAS_NILEARN and isinstance(mask, str)
-          and not mask.endswith('.npy')):  # pragma: no cover
+          and not mask.endswith('.npy')):
         masker_class = MultiNiftiMasker
     else:
         masker_class = NumpyMasker

@@ -26,15 +26,26 @@ __all__ = ["filename_mtime_token", "get_picklable_nifti_classes",
            "monkey_patch_nifti_image", "monkey_patch_nilearn_caching"]
 
 
-def get_picklable_nifti_classes():  # pragma: no cover - needs nibabel
+_PICKLABLE_CACHE = None
+
+
+def get_picklable_nifti_classes():
     """(Nifti1Image subclass, load function) that survive pickling.
 
     nibabel's ``Nifti1Image`` drops its filename (and may hold an open
     mmap) across pickle; the subclass serialises
     dataobj/header/affine/extra/filename explicitly so cached /
     multiprocessing pipelines can round-trip images (reference
-    fixes.py:30-58). Returns None without nibabel.
+    fixes.py:41-58). Returns None without nibabel.
+
+    The subclass is created once and published as this module's
+    ``Nifti1Image`` attribute: pickle resolves classes by
+    module + qualname, so a function-local class would make the
+    instances themselves unpicklable.
     """
+    global _PICKLABLE_CACHE
+    if _PICKLABLE_CACHE is not None:
+        return _PICKLABLE_CACHE
     try:
         import nibabel
     except ImportError:
@@ -59,6 +70,10 @@ def get_picklable_nifti_classes():  # pragma: no cover - needs nibabel
             if state['filename'] is not None:
                 self.set_filename(state['filename'])
 
+    Nifti1Image.__module__ = __name__
+    Nifti1Image.__qualname__ = 'Nifti1Image'
+    globals()['Nifti1Image'] = Nifti1Image
+
     nibabel_load = nibabel.load
 
     def load(filename, **kwargs):
@@ -67,7 +82,8 @@ def get_picklable_nifti_classes():  # pragma: no cover - needs nibabel
             img.__class__ = Nifti1Image
         return img
 
-    return Nifti1Image, load
+    _PICKLABLE_CACHE = (Nifti1Image, load)
+    return _PICKLABLE_CACHE
 
 
 def filename_mtime_token(path):
@@ -89,7 +105,7 @@ def monkey_patch_nifti_image():
 
     base_cls = getattr(hashing, 'NumpyHasher', hashing.Hasher)
 
-    class NibabelHasher(base_cls):  # pragma: no cover - needs nibabel
+    class NibabelHasher(base_cls):
         def save(self, obj):
             if isinstance(obj, nibabel.Nifti1Image):
                 filename = obj.get_filename()
@@ -99,7 +115,7 @@ def monkey_patch_nifti_image():
             base_cls.save(self, obj)
 
     def nifti_hash(obj, hash_name='md5',
-                   coerce_mmap=False):  # pragma: no cover
+                   coerce_mmap=False):
         try:
             hasher = NibabelHasher(hash_name=hash_name,
                                    coerce_mmap=coerce_mmap)
@@ -117,12 +133,12 @@ def monkey_patch_nifti_image():
         pass
     # route loads through the picklable Nifti1Image subclass
     classes = get_picklable_nifti_classes()
-    if classes is not None:  # pragma: no cover - needs nibabel
+    if classes is not None:
         nibabel.load = classes[1]
     return True
 
 
-def monkey_patch_nilearn_caching():  # pragma: no cover - needs nilearn
+def monkey_patch_nilearn_caching():
     """Extend the cheap-hashing discipline into nilearn's internals.
 
     The reference additionally patches nilearn's own loader/cache layer
