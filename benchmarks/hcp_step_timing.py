@@ -26,8 +26,14 @@ def main():
     ap.add_argument('--k', type=int, default=1024)
     ap.add_argument('--newton', type=int, default=None)
     ap.add_argument('--ablate', type=str, default='')
+    ap.add_argument('--foldoff', action='store_true')
+    ap.add_argument('--dablate', type=str, default='',
+                    help='driver-stage ablations: gather,gemm,scatter')
+    ap.add_argument('--driver', type=str, default='',
+                    choices=['', 'gathered', 'prepermuted'],
+                    help='block-driver layout A/B (_step._DRIVER_MODE)')
     ap.add_argument('--stub', type=str, default='',
-                    choices=['', 'dict', 'kernel'],
+                    choices=['', 'dict', 'kernel', 'affine'],
                     help="perf attribution (breaks exactness): 'dict' "
                          "skips the dictionary update entirely, "
                          "'kernel' keeps the block driver but makes "
@@ -43,11 +49,17 @@ def main():
         bcd_pallas.NEWTON_ITERS = args.newton
     if args.ablate:
         bcd_pallas._ABLATE = frozenset(args.ablate.split(','))
+    if args.foldoff:
+        bcd_pallas.FOLD_MIN_S = 1 << 60   # fold=1: no sublane relayout
 
     from modl_tpu import DictFact
     import modl_tpu.decomposition._step as _step
     from modl_tpu.decomposition._step import somf_scan
 
+    if args.dablate:
+        _step._DRIVER_ABLATE = frozenset(args.dablate.split(','))
+    if args.driver:
+        _step._DRIVER_MODE = args.driver
     if args.stub == 'dict':
         _step._update_dict = (
             lambda D, G, comp_norm, C, grad_subset, subset, w, order,
@@ -56,6 +68,12 @@ def main():
         _step._bcd_kernel_call = (
             lambda cfg, D_blk, grad_blk, C_inner, cn, order:
             (D_blk, cn))
+    elif args.stub == 'affine':
+        # cheap but non-trivial XLA-native stand-in: discriminates
+        # pallas-call machinery cost from the surrounding driver
+        _step._bcd_kernel_call = (
+            lambda cfg, D_blk, grad_blk, C_inner, cn, order:
+            (D_blk * 0.999 + 1e-6 * grad_blk, cn + 1.0))
 
     n_samples, n_features, batch = 1200, 200_000, 200
     rng = np.random.RandomState(0)
@@ -92,7 +110,9 @@ def main():
     per_epoch = (timed(args.hi) - timed(args.lo)) / (args.hi - args.lo)
     ms_batch = per_epoch / nb * 1e3
     print(f"k={args.k} newton={args.newton or bcd_pallas.NEWTON_ITERS} "
-          f"ablate={sorted(bcd_pallas._ABLATE)} stub={args.stub!r}: "
+          f"ablate={sorted(bcd_pallas._ABLATE)} stub={args.stub!r} "
+          f"dablate={sorted(_step._DRIVER_ABLATE)} "
+          f"driver={_step._DRIVER_MODE} fold={'off' if args.foldoff else 'on'}: "
           f"{ms_batch:.2f} ms/batch, "
           f"{n_samples / per_epoch:.0f} samples/s")
 

@@ -75,6 +75,20 @@ def _host_scatter_set(arr, idx, val):
         return arr.at[_to_host(idx)].set(_to_host(val))
 
 
+# perf-attribution hook (benchmarks only — breaks exactness): names of
+# BCD block-driver stages to skip/replace when timing
+# ({'gather', 'gemm', 'scatter'}; see benchmarks/hcp_step_timing.py)
+_DRIVER_ABLATE = frozenset()
+
+# block-driver layout: 'gathered' = per-block row gathers/scatters at
+# dynamic visit-order indices; 'prepermuted' = permute all operands
+# into visit order once, static slices + dynamic_update_slice at
+# static offsets per block, inverse-permute at the end. Identical math
+# (pinned by tests/test_bcd_pallas.py's driver parity test); A/B'd on
+# device via benchmarks/hcp_step_timing.py --driver.
+_DRIVER_MODE = 'gathered'
+
+
 def _keep_dp_sharded(x, cfg):
     """Constrain a per-sample state leaf ((n_samples, ...)) to stay
     dp-sharded under SPMD (no-op off-mesh / on indivisible axes)."""
@@ -358,24 +372,66 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, order, cfg,
         pallas_block = pallas_bs >= 8
         if pallas_block:
             BLOCK = pallas_bs
-        for start in range(0, k, BLOCK):
+        if pallas_block and _DRIVER_MODE == 'prepermuted':
+            # one gather into visit order up front; every per-block
+            # access below is a static slice and every write-back a
+            # dynamic_update_slice at a static offset (in-place
+            # friendly), with one inverse gather at the end
+            inv = jnp.argsort(order)
+            Dp = jnp.take(D_subset, order, axis=0)          # (k, s)
+            Bp = jnp.take(grad_subset, order, axis=0)       # (k, s)
+            Cp = jnp.take(jnp.take(C, order, axis=0), order, axis=1)
+            cnp = jnp.take(comp_norm, order)
+            for start in range(0, k, BLOCK):
+                bs = min(BLOCK, k - start)
+                B_blk = lax.slice(Bp, (start, 0), (start + bs, s))
+                C_rows = lax.slice(Cp, (start, 0), (start + bs, k))
+                C_inner = lax.slice(Cp, (start, start),
+                                    (start + bs, start + bs))
+                out_mask = jnp.where(
+                    (jnp.arange(k) >= start) & (jnp.arange(k) < start + bs),
+                    jnp.zeros((), dtype), jnp.ones((), dtype))
+                G_blk = B_blk - (C_rows * out_mask[None, :]) @ Dp
+                D_blk = lax.slice(Dp, (start, 0), (start + bs, s))
+                cn_blk = lax.slice(cnp, (start,), (start + bs,))
+                D_blk, cn_blk = _bcd_kernel_call(
+                    cfg, D_blk, G_blk, C_inner, cn_blk, None)
+                Dp = lax.dynamic_update_slice(Dp, D_blk,
+                                              (jnp.int32(start),
+                                               jnp.int32(0)))
+                cnp = lax.dynamic_update_slice(cnp, cn_blk,
+                                               (jnp.int32(start),))
+            D_subset = jnp.take(Dp, inv, axis=0)
+            comp_norm = jnp.take(cnp, inv)
+        else:
+          for start in range(0, k, BLOCK):
             bs = min(BLOCK, k - start)
             ob = lax.dynamic_slice(order, (start,), (bs,))
             C_rows = jnp.take(C, ob, axis=0)             # (bs, k)
             C_inner = jnp.take(C_rows, ob, axis=1)       # (bs, bs)
-            D_blk = jnp.take(D_subset, ob, axis=0)       # (bs, s)
-            B_blk = jnp.take(grad_subset, ob, axis=0)    # (bs, s)
+            if 'gather' in _DRIVER_ABLATE:               # benchmarks only
+                D_blk = lax.dynamic_slice(D_subset, (start, 0), (bs, s))
+                B_blk = lax.dynamic_slice(grad_subset, (start, 0),
+                                          (bs, s))
+            else:
+                D_blk = jnp.take(D_subset, ob, axis=0)   # (bs, s)
+                B_blk = jnp.take(grad_subset, ob, axis=0)  # (bs, s)
             if pallas_block:
                 # kernel contract: pre-subtract only the OUT-of-block
                 # residual contributions (zero the in-block C columns);
                 # the kernel reconstructs in-block rows itself
                 out_mask = jnp.ones((k,), dtype).at[ob].set(0.0)
-                G_blk = B_blk - (C_rows * out_mask[None, :]) @ D_subset
+                if 'gemm' in _DRIVER_ABLATE:             # benchmarks only
+                    G_blk = B_blk
+                else:
+                    G_blk = B_blk - (C_rows * out_mask[None, :]) @ D_subset
                 cn_blk = jnp.take(comp_norm, ob)
                 # rows already sit in visit order -> identity order
                 D_blk, cn_blk = _bcd_kernel_call(
                     cfg, D_blk, G_blk, C_inner, cn_blk, None)
                 comp_norm = comp_norm.at[ob].set(cn_blk)
+                if 'scatter' in _DRIVER_ABLATE:          # benchmarks only
+                    continue
             else:
                 R_blk = B_blk - C_rows @ D_subset
                 D_blk, _, _, _, comp_norm = lax.fori_loop(

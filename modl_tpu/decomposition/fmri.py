@@ -34,6 +34,11 @@ from sklearn.utils import check_random_state
 from ..input_data.fmri.base import BaseNilearnEstimator, NumpyMasker
 from .dict_fact import Coder, DictFact
 
+# largest record the prefetch ring may stage directly in device HBM
+# (bigger records transfer synchronously at training time instead of
+# risking PREFETCH+1 of them crowding out learner state)
+H2D_STAGE_BYTES = 1 << 30
+
 __all__ = ["fMRIDictFact", "fMRICoder", "fMRICoderMixin",
            "rfMRIDictionaryScorer"]
 
@@ -358,8 +363,22 @@ class fMRIDictFact(fMRICoderMixin):
                 if raw_path:
                     # materialize here so disk IO happens in the
                     # prefetch thread, not during the device transfer
-                    return np.ascontiguousarray(
-                        masker.transform_raw(img))
+                    arr = np.ascontiguousarray(masker.transform_raw(img))
+                    if arr.nbytes <= H2D_STAGE_BYTES:
+                        # stage the device transfer here too: while the
+                        # device trains on record r, record r+1's bytes
+                        # move host->device from this thread (transfers
+                        # and compute overlap on separate streams); the
+                        # block keeps the *prefetch* thread honest
+                        # about completion without stalling training.
+                        # Size-gated so a PREFETCH-deep ring of huge
+                        # records cannot crowd training state out of
+                        # device HBM.
+                        import jax
+                        dev = jax.device_put(arr)
+                        dev.block_until_ready()
+                        return dev
+                    return arr
                 return masker.transform(img, confounds=these_confounds)
 
             # host IO / device-compute overlap: while the device trains
@@ -409,9 +428,16 @@ class fMRIDictFact(fMRICoderMixin):
                         else:
                             sample_indices = None
                         if raw_path:
+                            import jax
                             import jax.numpy as jnp
+                            # already a device array when the prefetch
+                            # thread staged the transfer (np.asarray on
+                            # it would round-trip device->host)
+                            if not isinstance(masked_data, jax.Array):
+                                masked_data = jnp.asarray(
+                                    np.asarray(masked_data))
                             Xd = _clean_device(
-                                jnp.asarray(np.asarray(masked_data)),
+                                masked_data,
                                 getattr(masker, 'detrend', False),
                                 getattr(masker, 'standardize', False),
                                 dict_fact._dtype)

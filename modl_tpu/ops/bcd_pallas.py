@@ -304,14 +304,17 @@ def _kernel(C_rep_ref, Cd_ref, Ttile_ref, Rep_ref, D_in, G_in, cn_in,
         cn_pan = cn_in[pl.ds(j0, pa), :]                  # (pa, 1)
         # panel-wide old norms, vectorized: lane-reduce each folded row,
         # then collapse each fold-group with the one-hot Rep columns
-        av = jnp.abs(D_pan)
-        lanered = jnp.sum(av * (l1_ratio + (1.0 - l1_ratio) * av),
-                          axis=1, keepdims=True)          # (pa*fold, 1)
-        norms_old = jnp.sum(Rep * lanered, axis=0,
-                            keepdims=True)                # (1, pa)
+        if 'oldnorm' in _ABLATE:
+            norms_old = jnp.ones((1, pa), jnp.float32)
+        else:
+            av = jnp.abs(D_pan)
+            lanered = jnp.sum(av * (l1_ratio + (1.0 - l1_ratio) * av),
+                              axis=1, keepdims=True)      # (pa*fold, 1)
+            norms_old = jnp.sum(Rep * lanered, axis=0,
+                                keepdims=True)            # (1, pa)
         # panel residual, all k atoms' contributions at panel-entry
         # state (own rows included — re-added per atom below)
-        R_pan = G_pan - c8
+        R_pan = G_pan if 'rpan' in _ABLATE else G_pan - c8
         grouped = RANK1_MODE == 'grouped'
         if grouped:
             # per-atom residual rows as separate SSA values: atom a's
@@ -333,9 +336,16 @@ def _kernel(C_rep_ref, Cd_ref, Ttile_ref, Rep_ref, D_in, G_in, cn_in,
             j = j0 + a
             lo, hi = a * fold, (a + 1) * fold
             Dk = D_pan[lo:hi, :]             # own row, original state
-            budget = jnp.sum(cn_pan[a:a + 1, 0:1]) + jnp.sum(
-                norms_old[0:1, a:a + 1])                  # 0-d scalar
-            Ckk = jnp.sum(Cd[j:j + 1, 0:1])               # 0-d scalar
+            if 'atoms' in _ABLATE:           # perf attribution only:
+                new_rows.append(Dk)          # skip the whole per-atom
+                continue                     # solve/project/maintain
+            if 'scalars' in _ABLATE:         # constant stand-ins for
+                budget = jnp.float32(1.0)    # the vector->scalar moves
+                Ckk = jnp.float32(1.0)
+            else:
+                budget = jnp.sum(cn_pan[a:a + 1, 0:1]) + jnp.sum(
+                    norms_old[0:1, a:a + 1])              # 0-d scalar
+                Ckk = jnp.sum(Cd[j:j + 1, 0:1])           # 0-d scalar
             good = Ckk > 1e-20
             # reciprocal off the critical path: the solve below becomes
             # a multiply (VPU divides are several times slower), and
@@ -375,9 +385,10 @@ def _kernel(C_rep_ref, Cd_ref, Ttile_ref, Rep_ref, D_in, G_in, cn_in,
                                       preferred_element_type=jnp.float32,
                                       precision=lax.Precision.DEFAULT)
                     R_pan = R_pan - Ck_pan * delta_t
-        D_new_pan = (new_rows[0] if pa == 1
-                     else jnp.concatenate(new_rows, axis=0))
-        D_out[pl.ds(fold * j0, fold * pa), :] = D_new_pan
+        if 'nowrite' not in _ABLATE:
+            D_new_pan = (new_rows[0] if pa == 1
+                         else jnp.concatenate(new_rows, axis=0))
+            D_out[pl.ds(fold * j0, fold * pa), :] = D_new_pan
     cn_out[:] = cn
 
 

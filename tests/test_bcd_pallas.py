@@ -208,3 +208,52 @@ def test_l1_projection_feasible_on_adversarial_rows():
     budgets = np.abs(D).sum(axis=1)
     assert np.all(norms <= budgets * (1 + 1e-5))
     assert np.all(cnn >= -1e-4 * budgets)
+
+
+def test_prepermuted_driver_matches_gathered():
+    """The two block-driver layouts (_step._DRIVER_MODE: per-block row
+    gathers at dynamic visit-order indices vs one up-front permutation
+    with static slices) are pure data-movement alternatives — their
+    trajectories must be identical."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import modl_tpu.decomposition._step as _step
+    from modl_tpu import DictFact
+    from modl_tpu.decomposition._step import somf_step_jit
+
+    rng = np.random.RandomState(3)
+    k, n, b = 16, 128, 32
+    X = rng.randn(3 * b, n).astype(np.float32)
+    df = DictFact(n_components=k, reduction=2, code_alpha=1e-3,
+                  comp_l1_ratio=1.0, random_state=0, batch_size=b,
+                  dtype=np.float32)
+    df.prepare(n_samples=3 * b, X=X)
+    s = df._cfg.len_subset
+    old_budget = bp.VMEM_BUDGET
+    bp.VMEM_BUDGET = (2 * 8 * s + bp.FOLD * 8 * 8 + 8 * 8) * 4 + 256
+    try:
+        assert 0 < bp.max_block(k, s, np.float32) < k
+        cfg = dataclasses.replace(df._cfg, use_pallas=True)
+        states = {}
+        for mode in ('gathered', 'prepermuted'):
+            _step._DRIVER_MODE = mode
+            jax.clear_caches()   # same cfg -> same jit key; force retrace
+            st = df._state
+            for step in range(3):
+                Xb = jnp.asarray(X[step * b:(step + 1) * b])
+                idx = jnp.arange(step * b, (step + 1) * b,
+                                 dtype=jnp.int32)
+                st = somf_step_jit(st, Xb, idx, cfg)
+            states[mode] = st
+    finally:
+        bp.VMEM_BUDGET = old_budget
+        _step._DRIVER_MODE = 'gathered'
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(states['gathered'].D),
+                                  np.asarray(states['prepermuted'].D))
+    np.testing.assert_array_equal(
+        np.asarray(states['gathered'].comp_norm),
+        np.asarray(states['prepermuted'].comp_norm))
