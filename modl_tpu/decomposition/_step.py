@@ -457,32 +457,55 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, order, cfg,
         D_subset = jnp.where(valid[None, :], D_subset, D_cols)
     if cfg.windowed:
         # write the window, fold any wrapped tail back into the head,
-        # and refresh the mirror so D[:, n:] == D[:, :s] again. The
-        # fixup is gated behind lax.cond: for interior windows
-        # (start >= s and start + s <= n — the common case at n >> s)
-        # it is an exact no-op, and skipping it matters a lot — the
-        # read-after-update slice/update chain below defeats XLA's
-        # in-place buffer reuse on the full-width D (measured
-        # 6.2 ms/step of pure copy traffic at HCP-1024 shapes vs
-        # 0.1 ms for the lone window write; the cond also keeps the
-        # boundary-step fixup's copies out of the steady-state loop).
+        # and refresh the mirror so D[:, n:] == D[:, :s] again.
+        #
+        # Branch-free pure-write form (round 4): the post-write head
+        # and mirror contents are computed from PRE-write data (the old
+        # head + the new window values, aligned with two traced-shift
+        # dynamic_slices of a zero-padded window copy), then the
+        # write-back is a chain of three dynamic_update_slices with no
+        # conditional and no read-after-write. Both alternatives
+        # measured catastrophically at HCP-1024 shapes (~0.9 GB D):
+        # a lax.cond around the fixup makes XLA materialize a full
+        # copy of D EVERY batch, branch taken or not (2.66 ms/batch —
+        # the round-4 trace's single largest op), and an unconditional
+        # fixup reading head/mirror after the window write defeats
+        # in-place reuse entirely (round 3: 6.2 ms/step; re-measured
+        # 12.6 ms full step). The pure write chain keeps the carried D
+        # buffer in place: 9.4 -> ~6.9 ms/batch.
         n_log = cfg.n_features
         start = jnp.asarray(subset, jnp.int32)
         zero = jnp.int32(0)
+        if 'nowb' in _DRIVER_ABLATE:                    # benchmarks only
+            D_subset = D_subset * 1.0   # keep the compute, skip writes
+            return D, G, comp_norm
+        head_pre = lax.slice(D, (0, 0), (k, s))         # pre-write read
+        colh = jnp.arange(s)[None, :]
+        # traced right-shift by ``start``: A[:, c] = D_subset[:, c - q]
+        # via a dynamic_slice into [zeros | D_subset | zeros]
+        Dpad = jnp.concatenate(
+            [jnp.zeros((k, s), dtype), D_subset,
+             jnp.zeros((k, s), dtype)], axis=1)
+        shift_win = lax.dynamic_slice(
+            Dpad, (zero, jnp.int32(s) - start), (k, s))
+        # wrapped columns: A2[:, c] = D_subset[:, c + n - start]
+        # (offset clamps harmlessly when there is no wrap - the where
+        # mask below is then all-false)
+        shift_wrap = lax.dynamic_slice(
+            Dpad, (zero, jnp.int32(s) + jnp.int32(n_log) - start),
+            (k, s))
+        # head after this step: window overlap (start < s) takes the
+        # new window values; wrapped tail columns (start + s > n) take
+        # the wrapped window values; interior windows change nothing
+        # (both masks empty)
+        head_new = jnp.where(colh >= start, shift_win, head_pre)
+        head_new = jnp.where(colh < start + s - n_log, shift_wrap,
+                             head_new)
         D = lax.dynamic_update_slice(D, D_subset, (zero, start))
-
-        def _fix_mirror(D):
-            wrapped = start + s - n_log      # columns past n (<= 0: none)
-            head = lax.slice(D, (0, 0), (k, s))
-            mirror = lax.slice(D, (0, n_log), (k, n_log + s))
-            head = jnp.where(jnp.arange(s)[None, :] < wrapped, mirror,
-                             head)
-            D = lax.dynamic_update_slice(D, head, (zero, zero))
-            return lax.dynamic_update_slice(D, head, (zero,
-                                                      jnp.int32(n_log)))
-
-        needs_fix = (start < s) | (start + s > n_log)
-        D = lax.cond(needs_fix, _fix_mirror, lambda D: D, D)
+        if 'nofix' not in _DRIVER_ABLATE:               # benchmarks only
+            D = lax.dynamic_update_slice(D, head_new, (zero, zero))
+            D = lax.dynamic_update_slice(D, head_new,
+                                         (zero, jnp.int32(n_log)))
     else:
         D = D.at[:, subset].set(D_subset)
     if cfg.G_agg == 'full' and not incremental_G:

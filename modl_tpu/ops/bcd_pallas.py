@@ -83,7 +83,7 @@ _ABLATE = frozenset()
 # VMEM budget for the resident D + R buffers (bytes); beyond this fall
 # back to lax / smaller row blocks. Headroom above it (v5e has ~16 MB)
 # absorbs the C_rep/T constants and the rank-1 matmul temporary.
-VMEM_BUDGET = 11 * 1024 * 1024
+VMEM_BUDGET = 13 * 1024 * 1024 + 512 * 1024
 
 # sublane folding factor for row-local work (VPU tile is 8 sublanes)
 FOLD = 8
@@ -125,8 +125,20 @@ def supported(k, s, dtype, comp_l1_ratio):
     del comp_l1_ratio  # all geometries are covered
     if jnp.dtype(dtype) != jnp.float32:
         return False
-    # resident buffers: D + grad (k x s each), C_rep (k x FOLD k), cn
-    vmem_bytes = (2 * k * s + FOLD * k * k + 8 * k) * 4
+    # resident plan (see _panel_kernel): D is the one (k x s) buffer
+    # (aliased in/out); the gradient, folded-C rows and panel-C blocks
+    # are streamed per panel. Temporaries: G ring (2 blocks) + c8 +
+    # R_list values + output rows ~ 5 panel-rows of width s; Ttile and
+    # the W value are (p*fold, fold*k) each.
+    fold = FOLD if s >= FOLD_MIN_S else 1
+    sp = -(-s // fold) * fold
+    p = min(PANEL_ATOMS, max(k, 1))
+    kp = -(-k // p) * p
+    vmem_bytes = 4 * (kp * sp
+                      + 5 * p * sp
+                      + 2 * p * fold * fold * kp
+                      + 2 * p * fold * kp
+                      + 4 * kp)
     if vmem_bytes > VMEM_BUDGET:
         return False
     return True
@@ -136,7 +148,7 @@ def max_block(k_total, s, dtype):
     """Largest row-block size the kernel supports at subset width s."""
     if jnp.dtype(dtype) != jnp.float32:
         return 0
-    bs = 128
+    bs = 256
     while bs >= 8 and not supported(bs, s, dtype, 0.0):
         bs //= 2
     return bs if supported(bs, s, dtype, 0.0) else 0
@@ -242,154 +254,163 @@ def _project_rows(v, radius, l1_ratio):
     return jnp.where(radius > 0, out, jnp.zeros_like(v))
 
 
-def _kernel(C_rep_ref, Cd_ref, Ttile_ref, Rep_ref, D_in, G_in, cn_in,
-            D_out, cn_out, *, k, fold, comp_pos, l1_ratio, p):
-    # All bookkeeping lives in SSA *values* (registers / compiler-
-    # managed VMEM temporaries), not refs: per-atom ref reads/writes
-    # force Mosaic to serialize the unrolled loop on memory order,
-    # which measured at ~9 us/atom of pure overhead. Refs are touched
-    # once per panel (D) / once per kernel (cn), so the only serial
-    # chain left is the true data dependency:
-    # corr_in -> solve/project -> panel-row update.
-    D_out[:] = D_in[:]
-    Cd = Cd_ref[:]                                    # (k, 1) value
-    cn = cn_in[:]                                     # (k, 1) value
-    row1 = lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+def _panel_kernel(Cs_ref, Cpan_ref, Ttile_ref, Rep_ref, G_blk_ref,
+                  cn_in, D_in, D_out, cn_out, *, k, fold, comp_pos,
+                  l1_ratio, p):
+    """One grid step = one panel of ``p`` atoms (sequential grid).
 
-    # Python loops -> full static unroll (k <= 128 rows per kernel
-    # call); all slice offsets below are compile-time constants, so
-    # static *lane* slices are legal (only dynamic lane slices are
-    # slow in Mosaic).
-    for j0 in range(0, k, p):
-        pa = min(p, k - j0)         # tail panel may be short
-        # panel weights: W[a*fold + f, fold*i + g] = C[j0+a, i][f == g]
-        # assembled from C's pre-repeated rows with one tiny one-hot
-        # matmul (Rep) and the constant fold-selector tile (Ttile)
-        C_sub = C_rep_ref[pl.ds(j0, pa), :]               # (pa, fold*k)
-        Rep = Rep_ref[0:pa * fold, 0:pa]
-        W = jnp.dot(Rep, C_sub,
-                    preferred_element_type=jnp.float32,
-                    precision=lax.Precision.DEFAULT) * Ttile_ref[0:pa * fold, :]
-        # Residual contributions of ALL k atoms for every atom in the
-        # panel, in ONE full-height MXU contraction against the
-        # in-place-updated D buffer: out-of-panel rows enter at their
-        # delayed-update values (updated for already-visited panels,
-        # original for the rest — exactly the right-looking recurrence
-        # by telescoping), and in-panel rows enter at panel-entry
-        # (original) values because D_out's panel rows are only written
-        # at panel END — which is precisely what the per-atom re-add /
-        # grouped maintenance below expects. DEFAULT (single-pass bf16)
-        # MXU precision, pinned explicitly: the bf16 rounding of D rows
-        # entering this contraction is the same noise class as the
-        # block driver's own DEFAULT residual GEMM recompute, and ~6x
-        # cheaper than HIGHEST in Mosaic. Objective-trajectory parity
-        # vs the exact lax path is pinned on-device by
-        # tests/test_tpu_quality (rel diff <= 1.4e-3 over masked/full
-        # x l2/l1-ball fits). Pinning also keeps the kernel lowerable
-        # when traced under jax.default_matmul_precision('high') (the
-        # ops.precision context): Mosaic has no lowering for HIGH dots.
-        if 'c8' in _ABLATE:
-            c8 = jnp.zeros((pa * fold, D_out.shape[1]), jnp.float32)
-        else:
-            c8 = jnp.dot(W, D_out[:],
-                         preferred_element_type=jnp.float32,
-                         precision=lax.Precision.DEFAULT)  # (pa*fold, spp)
-        G_pan = G_in[pl.ds(fold * j0, fold * pa), :]      # value
-        D_pan = D_out[pl.ds(fold * j0, fold * pa), :]     # ORIGINAL rows
-        # panel-entry cn rows: each row is written exactly once (by its
-        # own atom), so the pristine cn_in slice is always the correct
-        # budget source — reading it (instead of the evolving `cn`
-        # value) keeps the output-assembly `where` chain off the
-        # per-atom solve's critical path
-        cn_pan = cn_in[pl.ds(j0, pa), :]                  # (pa, 1)
-        # panel-wide old norms, vectorized: lane-reduce each folded row,
-        # then collapse each fold-group with the one-hot Rep columns
-        if 'oldnorm' in _ABLATE:
-            norms_old = jnp.ones((1, pa), jnp.float32)
-        else:
-            av = jnp.abs(D_pan)
-            lanered = jnp.sum(av * (l1_ratio + (1.0 - l1_ratio) * av),
-                              axis=1, keepdims=True)      # (pa*fold, 1)
-            norms_old = jnp.sum(Rep * lanered, axis=0,
-                                keepdims=True)            # (1, pa)
-        # panel residual, all k atoms' contributions at panel-entry
-        # state (own rows included — re-added per atom below)
-        R_pan = G_pan if 'rpan' in _ABLATE else G_pan - c8
-        grouped = RANK1_MODE == 'grouped'
-        if grouped:
-            # per-atom residual rows as separate SSA values: atom a's
-            # delta folds into a later atom g's row with ONE exact
-            # scalar FMA R_list[g] -= C[g, a] * delta — no MXU tiling
-            # matmul on the critical path, and only the (a+1)-th FMA is
-            # serially needed; the rest overlap with the next solve
-            R_list = [R_pan[g * fold:(g + 1) * fold, :]
-                      for g in range(pa)]
-        else:
-            # fold-tiler: Tp @ delta broadcasts a (fold, spp) row
-            # update to every fold-group of the panel (Mosaic cannot
-            # reshape/tile in-kernel; a K=fold matmul against
-            # tile(eye(fold)) can)
-            Tp = Ttile_ref[0:pa * fold, 0:fold]
-        new_rows = []
+    All bookkeeping lives in SSA *values* (registers / compiler-managed
+    VMEM temporaries), not refs: per-atom ref reads/writes force Mosaic
+    to serialize the unrolled loop on memory order, which measured at
+    ~9 us/atom of pure overhead. Refs are touched once per panel, so
+    the only serial chain left is the true data dependency:
+    corr_in -> solve/project -> panel-row update.
 
-        for a in range(pa):
-            j = j0 + a
-            lo, hi = a * fold, (a + 1) * fold
-            Dk = D_pan[lo:hi, :]             # own row, original state
-            if 'atoms' in _ABLATE:           # perf attribution only:
-                new_rows.append(Dk)          # skip the whole per-atom
-                continue                     # solve/project/maintain
-            if 'scalars' in _ABLATE:         # constant stand-ins for
-                budget = jnp.float32(1.0)    # the vector->scalar moves
-                Ckk = jnp.float32(1.0)
+    Memory plan (the round-4 redesign): D stays fully VMEM-resident and
+    input/output-ALIASED (rows not written by any panel keep their
+    input values — no upfront copy); the gradient block, the folded C
+    rows, and the panel-inner C block are *streamed* per panel through
+    BlockSpec pipelines. Halving the resident footprint doubles the row
+    block the driver can hand one call (k <= 256), and fewer calls is
+    the dominant win: ~0.5 ms of per-call machinery was measured per
+    pallas_call at HCP shapes (docs/roofline_hcp.md round-4 table).
+    """
+    pid = pl.program_id(0)
+    # D_in/D_out are aliased; rows a panel does not write keep their
+    # input values. The explicit first-step copy makes that hold even
+    # where the alias is simulated rather than physical (interpret
+    # mode); on hardware it is one VMEM-to-itself copy per call.
+    @pl.when(pid == 0)
+    def _init():
+        D_out[:] = D_in[:]
+    j0 = pid * p
+    C_pan = Cpan_ref[0]                               # (p, p) value
+    # panel weights: W[a*fold + f, fold*i + g] = C[j0+a, i][f == g]
+    # assembled from C's pre-repeated rows (streamed: this panel's p
+    # rows only) with one tiny one-hot matmul (Rep) and the constant
+    # fold-selector tile (Ttile)
+    C_sub = Cs_ref[:]                                 # (p, fold*k)
+    Rep = Rep_ref[:]
+    W = jnp.dot(Rep, C_sub,
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.DEFAULT) * Ttile_ref[:]
+    # Residual contributions of ALL k atoms for every atom in the
+    # panel, in ONE full-height MXU contraction against the
+    # in-place-updated D buffer: out-of-panel rows enter at their
+    # delayed-update values (updated for already-visited panels,
+    # original for the rest — exactly the right-looking recurrence
+    # by telescoping), and in-panel rows enter at panel-entry
+    # (original) values because D's panel rows are only written
+    # at panel END — which is precisely what the per-atom re-add /
+    # grouped maintenance below expects. DEFAULT (single-pass bf16)
+    # MXU precision, pinned explicitly: the bf16 rounding of D rows
+    # entering this contraction is the same noise class as the
+    # block driver's own DEFAULT residual GEMM recompute, and ~6x
+    # cheaper than HIGHEST in Mosaic. Objective-trajectory parity
+    # vs the exact lax path is pinned on-device by
+    # tests/test_tpu_quality (rel diff <= 1.4e-3 over masked/full
+    # x l2/l1-ball fits). Pinning also keeps the kernel lowerable
+    # when traced under jax.default_matmul_precision('high') (the
+    # ops.precision context): Mosaic has no lowering for HIGH dots.
+    if 'c8' in _ABLATE:
+        c8 = jnp.zeros((p * fold, D_out.shape[1]), jnp.float32)
+    else:
+        c8 = jnp.dot(W, D_out[:],
+                     preferred_element_type=jnp.float32,
+                     precision=lax.Precision.DEFAULT)  # (p*fold, spp)
+    G_pan = G_blk_ref[:]                              # (p*fold, spp)
+    D_pan = D_out[pl.ds(fold * j0, fold * p), :]      # ORIGINAL rows
+    # panel-entry cn rows: each row is written exactly once (by its
+    # own atom, into the separate cn_out), so the pristine cn_in
+    # slice is always the correct budget source — keeping the budget
+    # reads off the per-atom solve's critical path
+    cn_pan = cn_in[pl.ds(j0, p), :]                   # (p, 1)
+    # panel-wide old norms, vectorized: lane-reduce each folded row,
+    # then collapse each fold-group with the one-hot Rep columns
+    if 'oldnorm' in _ABLATE:
+        norms_old = jnp.ones((1, p), jnp.float32)
+    else:
+        av = jnp.abs(D_pan)
+        lanered = jnp.sum(av * (l1_ratio + (1.0 - l1_ratio) * av),
+                          axis=1, keepdims=True)      # (p*fold, 1)
+        norms_old = jnp.sum(Rep * lanered, axis=0,
+                            keepdims=True)            # (1, p)
+    # panel residual, all k atoms' contributions at panel-entry
+    # state (own rows included — re-added per atom below)
+    R_pan = G_pan if 'rpan' in _ABLATE else G_pan - c8
+    grouped = RANK1_MODE == 'grouped'
+    if grouped:
+        # per-atom residual rows as separate SSA values: atom a's
+        # delta folds into a later atom g's row with ONE exact
+        # scalar FMA R_list[g] -= C[g, a] * delta — no MXU tiling
+        # matmul on the critical path, and only the (a+1)-th FMA is
+        # serially needed; the rest overlap with the next solve
+        R_list = [R_pan[g * fold:(g + 1) * fold, :]
+                  for g in range(p)]
+    else:
+        # fold-tiler: Tp @ delta broadcasts a (fold, spp) row
+        # update to every fold-group of the panel (Mosaic cannot
+        # reshape/tile in-kernel; a K=fold matmul against
+        # tile(eye(fold)) can)
+        Tp = Ttile_ref[0:p * fold, 0:fold]
+    new_rows = []
+    new_cns = []
+
+    for a in range(p):
+        lo, hi = a * fold, (a + 1) * fold
+        Dk = D_pan[lo:hi, :]             # own row, original state
+        if 'atoms' in _ABLATE:           # perf attribution only:
+            new_rows.append(Dk)          # skip the whole per-atom
+            new_cns.append(cn_pan[a:a + 1, :])
+            continue                     # solve/project/maintain
+        # scalars from the panel-inner C block at STATIC indices (a
+        # dynamic lane slice into C_sub would be slow in Mosaic)
+        budget = jnp.sum(cn_pan[a:a + 1, 0:1]) + jnp.sum(
+            norms_old[0:1, a:a + 1])                  # 0-d scalar
+        Ckk = jnp.sum(C_pan[a:a + 1, a:a + 1])        # 0-d scalar
+        good = Ckk > 1e-20
+        # reciprocal off the critical path: the solve below becomes
+        # a multiply (VPU divides are several times slower), and
+        # Ckk/good/inv depend only on panel-entry values
+        inv = 1.0 / jnp.where(good, Ckk, 1.0)
+        # re-add own contribution (the residual carries it at the
+        # original value: maintenance below only folds in OTHER
+        # atoms' deltas before this row is read)
+        Rk = (R_list[a] if grouped else R_pan[lo:hi, :]) + Ckk * Dk
+        Dk_new = jnp.where(good, Rk * inv, Dk)
+        if comp_pos:
+            Dk_new = jnp.maximum(Dk_new, 0.0)
+        if 'proj' not in _ABLATE:
+            Dk_new = _project_rows(Dk_new, budget, l1_ratio)
+        if 'norm' in _ABLATE:
+            new_cn = budget
+        else:
+            new_cn = budget - _enet_norm_rows(Dk_new, l1_ratio)
+        new_cns.append(jnp.reshape(new_cn, (1, 1)))
+        new_rows.append(Dk_new)
+        if a + 1 < p and 'maint' not in _ABLATE:
+            if grouped:
+                delta = Dk_new - Dk
+                for g in range(a + 1, p):
+                    cga = jnp.sum(C_pan[g:g + 1, a:a + 1])
+                    R_list[g] = R_list[g] - cga * delta
             else:
-                budget = jnp.sum(cn_pan[a:a + 1, 0:1]) + jnp.sum(
-                    norms_old[0:1, a:a + 1])              # 0-d scalar
-                Ckk = jnp.sum(Cd[j:j + 1, 0:1])           # 0-d scalar
-            good = Ckk > 1e-20
-            # reciprocal off the critical path: the solve below becomes
-            # a multiply (VPU divides are several times slower), and
-            # Ckk/good/inv depend only on panel-entry values
-            inv = 1.0 / jnp.where(good, Ckk, 1.0)
-            # re-add own contribution (the residual carries it at the
-            # original value: maintenance below only folds in OTHER
-            # atoms' deltas before this row is read)
-            Rk = (R_list[a] if grouped else R_pan[lo:hi, :]) + Ckk * Dk
-            Dk_new = jnp.where(good, Rk * inv, Dk)
-            if comp_pos:
-                Dk_new = jnp.maximum(Dk_new, 0.0)
-            if 'proj' not in _ABLATE:
-                Dk_new = _project_rows(Dk_new, budget, l1_ratio)
-            if 'norm' in _ABLATE:
-                new_cn = budget
-            else:
-                new_cn = budget - _enet_norm_rows(Dk_new, l1_ratio)
-            cn = jnp.where(row1 == j, new_cn, cn)
-            new_rows.append(Dk_new)
-            if a + 1 < pa and 'maint' not in _ABLATE:
-                if grouped:
-                    delta = Dk_new - Dk
-                    for g in range(a + 1, pa):
-                        # C[g]'s column j in folded-lane layout: any lane
-                        # of C_sub's fold*(j)-block of row g
-                        cga = jnp.sum(
-                            C_sub[g:g + 1, fold * j:fold * j + 1])
-                        R_list[g] = R_list[g] - cga * delta
-                else:
-                    # rank-1 panel-residual maintenance: one pass over
-                    # (pa*fold, spp) per atom
-                    Ck_pan = jnp.sum(
-                        W[:, fold * j:fold * (j + 1)], axis=1,
-                        keepdims=True)                    # (pa*fold, 1)
-                    delta_t = jnp.dot(Tp, Dk_new - Dk,
-                                      preferred_element_type=jnp.float32,
-                                      precision=lax.Precision.DEFAULT)
-                    R_pan = R_pan - Ck_pan * delta_t
-        if 'nowrite' not in _ABLATE:
-            D_new_pan = (new_rows[0] if pa == 1
-                         else jnp.concatenate(new_rows, axis=0))
-            D_out[pl.ds(fold * j0, fold * pa), :] = D_new_pan
-    cn_out[:] = cn
+                # rank-1 panel-residual maintenance: one pass over
+                # (p*fold, spp) per atom; C[:, a] broadcast into the
+                # folded-row layout with the one-hot Rep
+                Ck_pan = jnp.dot(Rep, C_pan[:, a:a + 1],
+                                 preferred_element_type=jnp.float32,
+                                 precision=lax.Precision.DEFAULT)
+                delta_t = jnp.dot(Tp, Dk_new - Dk,
+                                  preferred_element_type=jnp.float32,
+                                  precision=lax.Precision.DEFAULT)
+                R_pan = R_pan - Ck_pan * delta_t
+    if 'nowrite' not in _ABLATE:
+        D_new_pan = (new_rows[0] if p == 1
+                     else jnp.concatenate(new_rows, axis=0))
+        D_out[pl.ds(fold * j0, fold * p), :] = D_new_pan
+    cn_out[pl.ds(j0, p), :] = (new_cns[0] if p == 1
+                               else jnp.concatenate(new_cns, axis=0))
 
 
 @functools.partial(jax.jit,
@@ -399,43 +420,73 @@ def _bcd_update_ordered(D_subset, grad, C, cn2, k, fold, comp_pos,
     """Kernel invocation: atoms visited in row order 0..k-1.
 
     Folds rows sublane-major (outside the kernel, in XLA) so row-local
-    work uses all 8 VPU sublanes, runs the kernel, unfolds.
+    work uses all 8 VPU sublanes; pads the atom count to a panel
+    multiple (zero rows are exact fixed points of the update: zero
+    gradient and C column, shrinkage/scaling of 0 is 0); runs the
+    sequential panel grid; unfolds and slices back.
     """
     s = D_subset.shape[1]
     sp = -(-s // fold) * fold
     spp = sp // fold
+    p = min(PANEL_ATOMS, k)
+    kp = -(-k // p) * p
     if sp != s:
         # zero padding is a fixed point of the update: pad gradients are
         # zero, shrinkage/scaling of 0 is 0, norms are unaffected
         pad = ((0, 0), (0, sp - s))
         D_subset = jnp.pad(D_subset, pad)
         grad = jnp.pad(grad, pad)
-    D8 = D_subset.reshape(k * fold, spp)
-    G8 = grad.reshape(k * fold, spp)
+    if kp != k:
+        D_subset = jnp.pad(D_subset, ((0, kp - k), (0, 0)))
+        grad = jnp.pad(grad, ((0, kp - k), (0, 0)))
+        C = jnp.pad(C, ((0, kp - k), (0, kp - k)))
+        cn2 = jnp.pad(cn2, ((0, kp - k), (0, 0)))
+    D8 = D_subset.reshape(kp * fold, spp)
+    G8 = grad.reshape(kp * fold, spp)
     # C row j in folded-lane layout: C_rep[j, fold*i + g] = C[j, i]
     C_rep = jnp.repeat(C, fold, axis=1) if fold > 1 else C
-    Cdiag = jnp.diagonal(C).reshape(k, 1)
-    p = min(PANEL_ATOMS, k)
+    n_pan = kp // p
+    # per-panel inner C blocks (n_pan, p, p): per-atom scalars come
+    # from here at static indices inside the kernel
+    Cpan = jax.vmap(
+        lambda o: lax.dynamic_slice(C, (o, o), (p, p)))(
+            jnp.arange(n_pan, dtype=jnp.int32) * p)
     # fold-selector tile: Ttile[a*fold + f, fold*i + g] = [f == g]
-    T = (jnp.tile(jnp.eye(fold, dtype=D8.dtype), (1, k))
-         if fold > 1 else jnp.ones((1, k), D8.dtype))
-    Ttile = jnp.tile(T, (p, 1))                     # (p*fold, fold*k)
+    T = (jnp.tile(jnp.eye(fold, dtype=D8.dtype), (1, kp))
+         if fold > 1 else jnp.ones((1, kp), D8.dtype))
+    Ttile = jnp.tile(T, (p, 1))                     # (p*fold, fold*kp)
     # row-replicator one-hot: Rep[a*fold + f, a] = 1
     Rep = jnp.repeat(jnp.eye(p, dtype=D8.dtype), fold, axis=0)
-    kern = functools.partial(_kernel, k=k, fold=fold, comp_pos=comp_pos,
+    kern = functools.partial(_panel_kernel, k=kp, fold=fold,
+                             comp_pos=comp_pos,
                              l1_ratio=float(l1_ratio), p=p)
     D_new, cn_new = pl.pallas_call(
         kern,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_shape=[
-            jax.ShapeDtypeStruct((k * fold, spp), D8.dtype),
-            jax.ShapeDtypeStruct((k, 1), cn2.dtype),
+        grid=(n_pan,),
+        in_specs=[
+            pl.BlockSpec((p, fold * kp), lambda i: (i, 0)),   # C rows
+            pl.BlockSpec((1, p, p), lambda i: (i, 0, 0)),     # C panel
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # Ttile
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # Rep
+            pl.BlockSpec((p * fold, spp), lambda i: (i, 0)),  # G block
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # cn_in
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # D (alias)
         ],
-        input_output_aliases={4: 0, 6: 1},
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((kp * fold, spp), D8.dtype),
+            jax.ShapeDtypeStruct((kp, 1), cn2.dtype),
+        ],
+        input_output_aliases={6: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
         interpret=INTERPRET,
-    )(C_rep, Cdiag, Ttile, Rep, D8, G8, cn2)
-    return D_new.reshape(k, sp)[:, :s], cn_new
+    )(C_rep, Cpan, Ttile, Rep, G8, cn2, D8)
+    D_new = D_new.reshape(kp, sp)[:k, :s]
+    return D_new, cn_new[:k]
 
 
 def bcd_update(D_subset, grad, C, comp_norm, order=None, comp_pos=False,
