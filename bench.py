@@ -185,33 +185,59 @@ def bench_hcp1024():
 
 
 def bench_somf_vs_omf(extra):
-    """Lean 2-point version of benchmarks/somf_vs_omf.py: wall-clock for
-    SOMF (r=12) to reach the objective OMF (r=1) attains after 5 epochs
-    — the reference's headline "order of magnitude faster than OMF"
-    claim (/root/reference/README.md:10), measured with identical data,
-    estimator, and init (random dictionary — data-row init converges
-    before the first epoch ends and leaves nothing to compare)."""
+    """The reference's headline claim — SOMF (r=12) reaches OMF-level
+    objectives "an order of magnitude faster" on large data
+    (/root/reference/README.md:10) — measured with identical data,
+    estimator, and init (random dictionary: data-row init converges
+    before the first epoch ends and leaves nothing to compare).
+
+    Headline = the MEDIAN wall-clock speedup over the target sweep (the
+    objectives OMF attains after each of its 8 epochs) pooled over 3
+    planted-data seeds. A single deepest-target number is a lottery on
+    where OMF's final objective happens to land relative to SOMF's
+    subsampling plateau — measured 7.3x-24.9x across seeds at identical
+    settings (docs/performance.md); the sweep median matches the
+    reference's own presentation (compare.jpg plots the gap across the
+    whole descending range) and is stable. The planted sets are
+    generated on-device (4000 x 200k ~ 3.2 GB each; host generation +
+    tunneled H2D would dominate wall clock); seeds reuse one jit cache
+    (identical shapes). Per-reduction trajectories and both scales:
+    benchmarks/somf_vs_omf.py and docs/performance.md."""
     import os
     import sys
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import jax.numpy as jnp
 
-    from benchmarks.somf_vs_omf import (K, N_FEATURES, _planted, run_one,
-                                        time_to)
+    from benchmarks.somf_vs_omf import (N_TEST, N_FEATURES, _planted_device,
+                                        K, run_one, time_to)
 
-    n_train, n_test = 2000, 500
-    Xall = _planted(n_train + n_test, N_FEATURES, seed=0)
-    X, Xt = Xall[:n_train], jnp.asarray(Xall[n_train:])
+    n_train = 4000
     dict_init = np.random.RandomState(42).randn(
         K, N_FEATURES).astype(np.float32)
-    traj_omf = run_one(1, X, Xt, dict_init, epochs=5)
-    traj_somf = run_one(12, X, Xt, dict_init, epochs=14)
-    target = traj_omf[-1][1]
-    t_somf = time_to(traj_somf, target)
-    extra["somf_vs_omf_target_obj"] = round(target, 4)
-    extra["somf_vs_omf_omf_s"] = round(traj_omf[-1][0], 3)
-    if t_somf:
-        extra["somf_vs_omf_speedup"] = round(traj_omf[-1][0] / t_somf, 2)
+    pooled, per_seed, unreached = [], {}, 0
+    for seed in (0, 1, 2):
+        X, Xt = _planted_device(n_train, N_TEST, N_FEATURES, seed=seed)
+        traj_omf = run_one(1, X, Xt, dict_init, epochs=8)
+        traj_somf = run_one(12, X, Xt, dict_init, epochs=24)
+        del X, Xt
+        vals = []
+        for t_o, obj in traj_omf:
+            tt = time_to(traj_somf, obj)
+            if tt:
+                vals.append(t_o / tt)
+            else:
+                unreached += 1      # SOMF budget missed this target:
+                #                     counted, so a truncated sweep can
+                #                     never silently inflate the median
+        pooled.extend(vals)
+        per_seed[str(seed)] = (round(float(np.median(vals)), 2)
+                               if vals else None)
+    extra["somf_vs_omf_n_train"] = n_train
+    extra["somf_vs_omf_median_per_seed"] = per_seed
+    extra["somf_vs_omf_targets_unreached"] = unreached
+    if pooled:
+        extra["somf_vs_omf_speedup"] = round(float(np.median(pooled)), 2)
+        extra["somf_vs_omf_speedup_min"] = round(float(np.min(pooled)), 2)
+        extra["somf_vs_omf_speedup_max"] = round(float(np.max(pooled)), 2)
     else:
         extra["somf_vs_omf_speedup"] = None
 
