@@ -21,7 +21,7 @@ to bound recompiles) and one jitted step performs:
 ``predict`` (recsys_fast.pyx:10-38) is a gathered dot over the stored
 entries; ``compute_biases``/``rmse`` keep their host numpy form.
 """
-from functools import partial
+from functools import lru_cache, partial
 from math import ceil, log
 
 import numpy as np
@@ -87,28 +87,142 @@ def _pad_rows(X, rows, n_features, dtype, width=None):
     return idx, val, np.minimum(lens, P).astype(np.int32), P
 
 
-# device-resident padded-CSR budget (bytes of idx+val): below this the
-# whole training matrix is packed once and batches gather on device;
-# above it (power-law data where the global max row length would inflate
-# the pad width) fit falls back to adaptive per-window host packing
+# device-resident padded-CSR budget (bytes of idx+val) PER DEVICE:
+# below this the whole training matrix is packed once and batches
+# gather on device; above it (power-law data where the global max row
+# length would inflate the pad width) fit falls back to adaptive
+# per-window host packing. Under a dp mesh the packed rows are sharded
+# over the devices, so the aggregate budget scales with the mesh.
 RESIDENT_BUDGET = 512 * 1024 * 1024
 
 
-def _pad_all_rows(X, n_features, dtype):
+def _pad_all_rows(X, n_features, dtype, n_dp=1):
     """Pack every CSR row once at one shared power-of-two width.
 
     Returns ``(idx_all, val_all, lens_all, P)`` as device arrays, or
-    ``None`` when the padded size exceeds ``RESIDENT_BUDGET`` (then the
-    caller streams host-packed windows instead)."""
+    ``None`` when the padded size exceeds ``n_dp * RESIDENT_BUDGET``
+    (then the caller streams host-packed windows instead). With
+    ``n_dp > 1`` the row count is padded to a multiple of ``n_dp``
+    (empty rows: pad index, zero value, zero length) so the arrays
+    split evenly over a dp mesh axis, and the arrays are returned as
+    host numpy for the caller to ``device_put`` with a sharding."""
     n_samples = X.shape[0]
     max_len = int(np.diff(X.indptr).max()) if X.nnz else 1
     P = _next_pow2(max(max_len, 1))
     itemsize = np.dtype(dtype).itemsize
-    if n_samples * P * (4 + itemsize) > RESIDENT_BUDGET:
+    if n_samples * P * (4 + itemsize) > n_dp * RESIDENT_BUDGET:
         return None
     rows = np.arange(n_samples)
     idx, val, lens32, _ = _pad_rows(X, rows, n_features, dtype, width=P)
+    if n_dp > 1:
+        n_pad = (-n_samples) % n_dp
+        if n_pad:
+            idx = np.concatenate(
+                [idx, np.full((n_pad, P), n_features, np.int32)])
+            val = np.concatenate([val, np.zeros((n_pad, P), dtype)])
+            lens32 = np.concatenate([lens32, np.zeros((n_pad,), np.int32)])
+        return idx, val, lens32, P
     return (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(lens32), P)
+
+
+def _make_resident_gather(mesh, shard_batch_out):
+    """Batch reassembly from dp-sharded resident rows (dataset
+    sharding — the TPU-native counterpart of the reference's
+    shared-memory CSR: each device stores 1/n_dp of the padded rows,
+    so capacity scales with the mesh).
+
+    Each requested global row id lives on exactly one device; every
+    device contributes its local hits (zeros elsewhere) and a ``psum``
+    reassembles the batch EXACTLY (adding zeros is exact in floating
+    point — the gather introduces zero numerical deviation; any f32
+    drift of a mesh fit comes from GSPMD's reordered reductions in the
+    downstream sharded contractions, identically to the pre-dataset-
+    sharding mesh path, and vanishes at f64 where the trajectory tests
+    pin 1e-9). With ``shard_batch_out`` the reassembled batch is then
+    split over dp along its row axis so the downstream vmapped ridge
+    solves keep fanning out across the mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+    n_dp = mesh.shape['dp']
+
+    def gather(idx_all, val_all, lens_all, rows):
+        d = lax.axis_index('dp')
+        n_local = idx_all.shape[0]
+        loc = rows - d * n_local
+        hit = (loc >= 0) & (loc < n_local)
+        locc = jnp.clip(loc, 0, n_local - 1)
+        gi = jnp.where(hit[..., None],
+                       jnp.take(idx_all, locc, axis=0), 0)
+        gv = jnp.where(hit[..., None],
+                       jnp.take(val_all, locc, axis=0), 0)
+        gl = jnp.where(hit, jnp.take(lens_all, locc, axis=0), 0)
+        gi = lax.psum(gi, 'dp')
+        gv = lax.psum(gv, 'dp')
+        gl = lax.psum(gl, 'dp')
+        if shard_batch_out:
+            b = gl.shape[-1]
+            bl = b // n_dp
+            axis = gl.ndim - 1
+            gi = lax.dynamic_slice_in_dim(gi, d * bl, bl, axis=axis)
+            gv = lax.dynamic_slice_in_dim(gv, d * bl, bl, axis=axis)
+            gl = lax.dynamic_slice_in_dim(gl, d * bl, bl, axis=axis)
+        return gi, gv, gl
+
+    def make(rows_ndim):
+        # rows is (b,) for single batches, (W, b) for windows
+        lead = [None] * (rows_ndim - 1)
+        batch = 'dp' if shard_batch_out else None
+        return shard_map(
+            gather, mesh=mesh,
+            in_specs=(P('dp'), P('dp'), P('dp'), P()),
+            out_specs=(P(*lead, batch, None), P(*lead, batch, None),
+                       P(*lead, batch)))
+    return make
+
+
+@lru_cache(maxsize=8)
+def _resident_steps_mesh(mesh, batch_size, n_dp):
+    """Jitted mesh variants of the resident window/batch steps: the
+    packed rows stay dp-sharded and batches are reassembled by the
+    shard_map gather. The batch axis is re-split over dp when the batch
+    size divides the mesh (keeping the ridge-solve fan-out); odd tails
+    run with replicated batch tensors."""
+    shard_out = (batch_size % n_dp == 0)
+    gather_w = _make_resident_gather(mesh, shard_out)(2)
+
+    @partial(jax.jit, static_argnames=("alpha", "learning_rate",
+                                       "use_pallas"))
+    @precise
+    def window_resident(D, C, B, comp_norm, feature_n_iter, n_iter,
+                        code, idx_all, val_all, lens_all, rows_w,
+                        orders_w, alpha, learning_rate, use_pallas=False):
+        idx_w, val_w, lens_w = gather_w(idx_all, val_all, lens_all,
+                                        rows_w)
+        return _recsys_window(D, C, B, comp_norm, feature_n_iter,
+                              n_iter, code, rows_w, idx_w, val_w,
+                              lens_w, orders_w, alpha, learning_rate,
+                              use_pallas=use_pallas)
+
+    @partial(jax.jit, static_argnames=("alpha", "learning_rate",
+                                       "use_pallas"))
+    @precise
+    def batch_resident(D, C, B, comp_norm, feature_n_iter, n_iter, code,
+                       idx_all, val_all, lens_all, rows, order, alpha,
+                       learning_rate, use_pallas=False):
+        # rows.shape is static at trace time; odd epoch tails fall back
+        # to a replicated batch axis
+        gather_b = _make_resident_gather(
+            mesh, rows.shape[0] % n_dp == 0)(1)
+        idx, val, lens = gather_b(idx_all, val_all, lens_all, rows)
+        code_b = _masked_ridge_codes(D, idx, val, lens, alpha)
+        code = code.at[rows].set(code_b)
+        D, C, B, comp_norm, feature_n_iter, n_iter = _recsys_batch_step(
+            D, C, B, comp_norm, feature_n_iter, n_iter, code_b, idx,
+            val, lens, order, learning_rate, use_pallas=use_pallas)
+        return D, C, B, comp_norm, feature_n_iter, n_iter, code
+
+    return window_resident, batch_resident
 
 
 @partial(jax.jit, static_argnames=("alpha",))
@@ -373,12 +487,19 @@ class RecsysDictFact(BaseEstimator):
     ``components_``, ``code_``.
 
     ``mesh`` (TPU-native extension): a ``jax.sharding.Mesh`` with a
-    ``dp`` axis. The padded minibatch rows (and the vmapped masked
-    ridge solves over them) are sharded over ``dp``; the sequential
-    B/C/dictionary statistics run replicated (their per-row scan is
-    order-dependent, the reference's semantics). SPMD is a pure layout
-    change: the sharded trajectory equals the single-device one
-    (tests/test_parallel.py).
+    ``dp`` axis. Two things shard over ``dp``: (1) the device-resident
+    packed ratings — each device stores 1/n_dp of the padded CSR rows
+    (dataset sharding; resident capacity scales with the mesh, budget
+    ``n_dp * RESIDENT_BUDGET``) and minibatches are reassembled inside
+    the step by an exact one-hot psum gather; (2) the padded minibatch
+    rows and the vmapped masked ridge solves over them. The
+    B/C/dictionary statistics run replicated — their per-row EMA is
+    order-dependent across the whole batch (the reference's serial
+    semantics, recsys.py:157-185), so they cannot shard without
+    changing the trajectory. SPMD is a layout change, not an algorithm
+    change: the sharded trajectory equals the single-device one up to
+    GSPMD's reordered f32 reductions (pinned at 1e-9 under the f64
+    test suite, tests/test_parallel.py).
     """
 
     def __init__(self, alpha=1.0, beta=.0, n_components=30,
@@ -499,13 +620,30 @@ class RecsysDictFact(BaseEstimator):
         # then move only row ids over the host link and compile at most
         # three shapes. Power-law data (global max row length >> median)
         # keeps the adaptive per-window host packing below. Under a
-        # mesh the packed arrays are replicated (each device gathers
-        # its dp-shard of batch rows locally); the budget already caps
-        # their size.
-        resident = _pad_all_rows(X, n_features, dtype)
-        if resident is not None and self.mesh is not None:
-            idx_all, val_all, lens_all, P_res = resident
-            resident = (rep(idx_all), rep(val_all), rep(lens_all), P_res)
+        # mesh the packed rows are SHARDED over dp (dataset sharding:
+        # each device stores 1/n_dp of the padded CSR, so resident
+        # capacity scales with the mesh) and batches are reassembled
+        # inside the step by an exact one-hot psum gather
+        # (_make_resident_gather); the trajectory matches the
+        # single-device fit up to GSPMD's f32 reduction reordering
+        # (1e-9 at f64, tests/test_parallel.py).
+        window_resident_fn = _recsys_window_resident
+        batch_resident_fn = _recsys_batch_resident
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            resident = _pad_all_rows(X, n_features, dtype, n_dp=n_dp)
+            if resident is not None:
+                idx_all, val_all, lens_all, P_res = resident
+                row_shard = NamedSharding(self.mesh, P('dp'))
+                resident = (jax.device_put(idx_all, row_shard),
+                            jax.device_put(val_all, row_shard),
+                            jax.device_put(lens_all, row_shard), P_res)
+                window_resident_fn, batch_resident_fn = \
+                    _resident_steps_mesh(self.mesh, batch_size, n_dp)
+        else:
+            resident = _pad_all_rows(X, n_features, dtype)
+        self._resident_spec = (getattr(resident[0].sharding, 'spec', ())
+                               if resident is not None else None)
 
         for _ in range(self.n_epochs):
             permutation = self.random_state.permutation(n_samples)
@@ -525,10 +663,10 @@ class RecsysDictFact(BaseEstimator):
                     if resident is not None:
                         idx_all, val_all, lens_all, _ = resident
                         (D, C, B, comp_norm, feature_n_iter, n_iter,
-                         code) = _recsys_window_resident(
+                         code) = window_resident_fn(
                             D, C, B, comp_norm, feature_n_iter, n_iter,
                             code, idx_all, val_all, lens_all,
-                            dp_w(rows_w), jnp.asarray(orders_w),
+                            jnp.asarray(rows_w), jnp.asarray(orders_w),
                             alpha, lr, use_pallas=use_pallas)
                     else:
                         idx_w, val_w, lens_w, P = _pad_rows_window(
@@ -557,9 +695,9 @@ class RecsysDictFact(BaseEstimator):
                 if resident is not None:
                     idx_all, val_all, lens_all, _ = resident
                     (D, C, B, comp_norm, feature_n_iter, n_iter,
-                     code) = _recsys_batch_resident(
+                     code) = batch_resident_fn(
                         D, C, B, comp_norm, feature_n_iter, n_iter, code,
-                        idx_all, val_all, lens_all, dp_b(rows),
+                        idx_all, val_all, lens_all, jnp.asarray(rows),
                         order, alpha, lr, use_pallas=use_pallas)
                 else:
                     idx, val, lens, P = _pad_rows(X, rows, n_features,

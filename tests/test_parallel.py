@@ -190,11 +190,41 @@ def test_recsys_mesh_resident_matches_single_device():
     mesh = make_mesh(n_dp=8, n_feat=1)
     sharded = RecsysDictFact(mesh=mesh, **kwargs).fit(Xcsr.copy())
 
+    # dataset sharding: the packed rows live 1/n_dp per device
+    from jax.sharding import PartitionSpec as P
+    assert sharded._resident_spec == P('dp')
+    assert ref._resident_spec == ()    # single-device: no named sharding
+
     np.testing.assert_allclose(sharded.components_, ref.components_,
                                rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(sharded.code_, ref.code_,
                                rtol=1e-8, atol=1e-10)
     assert abs(sharded.score(Xcsr) - ref.score(Xcsr)) < 1e-9
+
+
+def test_recsys_mesh_resident_odd_batch():
+    """batch_size not divisible by dp: the reassembled batch tensors
+    fall back to a replicated batch axis (the psum gather is identical;
+    only the out_specs change) and the trajectory still matches."""
+    import scipy.sparse as sp
+
+    from modl_tpu.decomposition.recsys import RecsysDictFact
+
+    rng = np.random.RandomState(3)
+    n, m, k = 130, 24, 3
+    dense = rng.randn(n, k) @ rng.randn(k, m)
+    mask = rng.rand(n, m) < 0.4
+    Xcsr = sp.csr_matrix(np.where(mask, dense, 0.0))
+
+    kwargs = dict(n_components=3, alpha=1e-2, learning_rate=0.9,
+                  batch_size=7, n_epochs=1, random_state=0)
+    ref = RecsysDictFact(**kwargs).fit(Xcsr.copy())
+    sharded = RecsysDictFact(mesh=make_mesh(n_dp=8, n_feat=1),
+                             **kwargs).fit(Xcsr.copy())
+    np.testing.assert_allclose(sharded.components_, ref.components_,
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(sharded.code_, ref.code_,
+                               rtol=1e-8, atol=1e-10)
 
 
 @pytest.mark.parametrize("agg", ['average'])
