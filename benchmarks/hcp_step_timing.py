@@ -24,6 +24,9 @@ def main():
     ap.add_argument('--lo', type=int, default=1)
     ap.add_argument('--hi', type=int, default=6)
     ap.add_argument('--k', type=int, default=1024)
+    ap.add_argument('--adhd', action='store_true',
+                    help='ADHD-70 preset (k=70, reduction 12, batch 100,'
+                         ' Binomial subset sizes — bench.py flagship)')
     ap.add_argument('--newton', type=int, default=None)
     ap.add_argument('--ablate', type=str, default='')
     ap.add_argument('--foldoff', action='store_true')
@@ -75,13 +78,18 @@ def main():
             lambda cfg, D_blk, grad_blk, C_inner, cn, order:
             (D_blk * 0.999 + 1e-6 * grad_blk, cn + 1.0))
 
-    n_samples, n_features, batch = 1200, 200_000, 200
+    if args.adhd:                          # rand_size default (Binomial)
+        args.k, reduction, batch = 70, 12, 100
+        n_samples, n_features = 2000, 200_000
+    else:
+        reduction, batch = 20, 200
+        n_samples, n_features = 1200, 200_000
     rng = np.random.RandomState(0)
     X = rng.randn(n_samples, n_features).astype(np.float32)
-    df = DictFact(n_components=args.k, reduction=20, code_alpha=3e-4,
-                  code_l1_ratio=0, comp_l1_ratio=1, learning_rate=0.92,
-                  batch_size=batch, random_state=0, dtype=np.float32,
-                  subset_sampling='window')
+    df = DictFact(n_components=args.k, reduction=reduction,
+                  code_alpha=3e-4, code_l1_ratio=0, comp_l1_ratio=1,
+                  learning_rate=0.92, batch_size=batch, random_state=0,
+                  dtype=np.float32, subset_sampling='window')
     df.prepare(n_samples=n_samples, X=X)
     nb = n_samples // batch
     Xi = df._ingest_features(jnp.asarray(X))

@@ -88,6 +88,19 @@ _DRIVER_ABLATE = frozenset()
 # device via benchmarks/hcp_step_timing.py --driver.
 _DRIVER_MODE = 'gathered'
 
+# windowed D write-back form: 'cond' gates the head/mirror fixup behind
+# lax.cond (exact no-op on interior windows), 'purewrite' computes the
+# post-write head from pre-write data and writes it unconditionally
+# with no read-after-write. Identical values either way (pinned by
+# tests/test_windowed.py); the fast choice is size-dependent — the
+# cond makes XLA materialize a defensive copy of the full-width D
+# every step, negligible at ADHD shapes (~60 MB: the purewrite's extra
+# head writes cost more, 90k -> 98k samples/s with cond) but
+# catastrophic at HCP-1024 (~0.9 GB: 2.66 ms/batch, 21.6k -> 27.6k
+# with purewrite). 'auto' switches on the static D byte size.
+_WRITEBACK = 'auto'
+_WRITEBACK_COND_MAX_BYTES = 256 * 1024 * 1024
+
 
 def _keep_dp_sharded(x, cfg):
     """Constrain a per-sample state leaf ((n_samples, ...)) to stay
@@ -369,9 +382,17 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, order, cfg,
 
         pallas_bs = (bcd_pallas.max_block(k, s, dtype)
                      if cfg.use_pallas else 0)
-        pallas_block = pallas_bs >= 8
+        pallas_block = (pallas_bs >= 8
+                        and k >= bcd_pallas.PANEL_ATOMS)
         if pallas_block:
             BLOCK = pallas_bs
+        # blocks narrower than one panel (a < 8-row tail, e.g.
+        # k = 260 with a 256 cap) cannot use the kernel: Mosaic has no
+        # proof of 8-sublane alignment for sub-panel row slices
+        # (cf. bcd_pallas.supported). Such tails run the lax body —
+        # they are at most 7 rows.
+        kernel_ok = (lambda bs: pallas_block
+                     and bs >= bcd_pallas.PANEL_ATOMS)
         if pallas_block and _DRIVER_MODE == 'prepermuted':
             # one gather into visit order up front; every per-block
             # access below is a static slice and every write-back a
@@ -388,14 +409,23 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, order, cfg,
                 C_rows = lax.slice(Cp, (start, 0), (start + bs, k))
                 C_inner = lax.slice(Cp, (start, start),
                                     (start + bs, start + bs))
-                out_mask = jnp.where(
-                    (jnp.arange(k) >= start) & (jnp.arange(k) < start + bs),
-                    jnp.zeros((), dtype), jnp.ones((), dtype))
-                G_blk = B_blk - (C_rows * out_mask[None, :]) @ Dp
                 D_blk = lax.slice(Dp, (start, 0), (start + bs, s))
-                cn_blk = lax.slice(cnp, (start,), (start + bs,))
-                D_blk, cn_blk = _bcd_kernel_call(
-                    cfg, D_blk, G_blk, C_inner, cn_blk, None)
+                if kernel_ok(bs):
+                    out_mask = jnp.where(
+                        (jnp.arange(k) >= start)
+                        & (jnp.arange(k) < start + bs),
+                        jnp.zeros((), dtype), jnp.ones((), dtype))
+                    G_blk = B_blk - (C_rows * out_mask[None, :]) @ Dp
+                    cn_blk = lax.slice(cnp, (start,), (start + bs,))
+                    D_blk, cn_blk = _bcd_kernel_call(
+                        cfg, D_blk, G_blk, C_inner, cn_blk, None)
+                else:                       # sub-panel tail: lax body
+                    R_blk = B_blk - C_rows @ Dp
+                    ob = jnp.arange(start, start + bs, dtype=jnp.int32)
+                    D_blk, _, _, _, cnp = lax.fori_loop(
+                        0, bs, make_block_body(bs),
+                        (D_blk, R_blk, C_inner, ob, cnp))
+                    cn_blk = lax.slice(cnp, (start,), (start + bs,))
                 Dp = lax.dynamic_update_slice(Dp, D_blk,
                                               (jnp.int32(start),
                                                jnp.int32(0)))
@@ -416,7 +446,7 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, order, cfg,
             else:
                 D_blk = jnp.take(D_subset, ob, axis=0)   # (bs, s)
                 B_blk = jnp.take(grad_subset, ob, axis=0)  # (bs, s)
-            if pallas_block:
+            if kernel_ok(bs):
                 # kernel contract: pre-subtract only the OUT-of-block
                 # residual contributions (zero the in-block C columns);
                 # the kernel reconstructs in-block rows itself
@@ -457,55 +487,86 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, order, cfg,
         D_subset = jnp.where(valid[None, :], D_subset, D_cols)
     if cfg.windowed:
         # write the window, fold any wrapped tail back into the head,
-        # and refresh the mirror so D[:, n:] == D[:, :s] again.
+        # and refresh the mirror so D[:, n:] == D[:, :s] again. Two
+        # value-identical forms (pinned against each other by
+        # tests/test_windowed.py), chosen by the STATIC D byte size
+        # (_WRITEBACK above):
         #
-        # Branch-free pure-write form (round 4): the post-write head
-        # and mirror contents are computed from PRE-write data (the old
+        # 'purewrite' (round 4, large D): the post-write head and
+        # mirror contents are computed from PRE-write data (the old
         # head + the new window values, aligned with two traced-shift
         # dynamic_slices of a zero-padded window copy), then the
         # write-back is a chain of three dynamic_update_slices with no
-        # conditional and no read-after-write. Both alternatives
-        # measured catastrophically at HCP-1024 shapes (~0.9 GB D):
-        # a lax.cond around the fixup makes XLA materialize a full
+        # conditional and no read-after-write. At HCP-1024 shapes
+        # (~0.9 GB D) the alternatives measured catastrophically: a
+        # lax.cond around the fixup makes XLA materialize a defensive
         # copy of D EVERY batch, branch taken or not (2.66 ms/batch —
         # the round-4 trace's single largest op), and an unconditional
         # fixup reading head/mirror after the window write defeats
-        # in-place reuse entirely (round 3: 6.2 ms/step; re-measured
-        # 12.6 ms full step). The pure write chain keeps the carried D
-        # buffer in place: 9.4 -> ~6.9 ms/batch.
+        # in-place reuse entirely (round 3: 6.2 ms/step). The pure
+        # write chain keeps the carried D buffer in place:
+        # 9.4 -> ~6.9 ms/batch.
+        #
+        # 'cond' (round 3, small D): the fixup is an exact no-op for
+        # interior windows, so it is gated behind lax.cond. The cond's
+        # defensive copy is noise at these sizes while the purewrite
+        # form's two extra head/mirror writes are not (ADHD-70:
+        # 98k samples/s cond vs 90k purewrite).
         n_log = cfg.n_features
         start = jnp.asarray(subset, jnp.int32)
         zero = jnp.int32(0)
         if 'nowb' in _DRIVER_ABLATE:                    # benchmarks only
             D_subset = D_subset * 1.0   # keep the compute, skip writes
             return D, G, comp_norm
-        head_pre = lax.slice(D, (0, 0), (k, s))         # pre-write read
-        colh = jnp.arange(s)[None, :]
-        # traced right-shift by ``start``: A[:, c] = D_subset[:, c - q]
-        # via a dynamic_slice into [zeros | D_subset | zeros]
-        Dpad = jnp.concatenate(
-            [jnp.zeros((k, s), dtype), D_subset,
-             jnp.zeros((k, s), dtype)], axis=1)
-        shift_win = lax.dynamic_slice(
-            Dpad, (zero, jnp.int32(s) - start), (k, s))
-        # wrapped columns: A2[:, c] = D_subset[:, c + n - start]
-        # (offset clamps harmlessly when there is no wrap - the where
-        # mask below is then all-false)
-        shift_wrap = lax.dynamic_slice(
-            Dpad, (zero, jnp.int32(s) + jnp.int32(n_log) - start),
-            (k, s))
-        # head after this step: window overlap (start < s) takes the
-        # new window values; wrapped tail columns (start + s > n) take
-        # the wrapped window values; interior windows change nothing
-        # (both masks empty)
-        head_new = jnp.where(colh >= start, shift_win, head_pre)
-        head_new = jnp.where(colh < start + s - n_log, shift_wrap,
-                             head_new)
-        D = lax.dynamic_update_slice(D, D_subset, (zero, start))
-        if 'nofix' not in _DRIVER_ABLATE:               # benchmarks only
-            D = lax.dynamic_update_slice(D, head_new, (zero, zero))
-            D = lax.dynamic_update_slice(D, head_new,
-                                         (zero, jnp.int32(n_log)))
+        form = _WRITEBACK
+        if form == 'auto':
+            d_bytes = D.shape[0] * D.shape[1] * jnp.dtype(dtype).itemsize
+            form = ('cond' if d_bytes <= _WRITEBACK_COND_MAX_BYTES
+                    else 'purewrite')
+        if form == 'purewrite':
+            head_pre = lax.slice(D, (0, 0), (k, s))     # pre-write read
+            colh = jnp.arange(s)[None, :]
+            # traced right-shift by ``start``: A[:, c] = D_subset[:, c-q]
+            # via a dynamic_slice into [zeros | D_subset | zeros]
+            Dpad = jnp.concatenate(
+                [jnp.zeros((k, s), dtype), D_subset,
+                 jnp.zeros((k, s), dtype)], axis=1)
+            shift_win = lax.dynamic_slice(
+                Dpad, (zero, jnp.int32(s) - start), (k, s))
+            # wrapped columns: A2[:, c] = D_subset[:, c + n - start]
+            # (offset clamps harmlessly when there is no wrap - the
+            # where mask below is then all-false)
+            shift_wrap = lax.dynamic_slice(
+                Dpad, (zero, jnp.int32(s) + jnp.int32(n_log) - start),
+                (k, s))
+            # head after this step: window overlap (start < s) takes
+            # the new window values; wrapped tail columns
+            # (start + s > n) take the wrapped window values; interior
+            # windows change nothing (both masks empty)
+            head_new = jnp.where(colh >= start, shift_win, head_pre)
+            head_new = jnp.where(colh < start + s - n_log, shift_wrap,
+                                 head_new)
+            D = lax.dynamic_update_slice(D, D_subset, (zero, start))
+            if 'nofix' not in _DRIVER_ABLATE:           # benchmarks only
+                D = lax.dynamic_update_slice(D, head_new, (zero, zero))
+                D = lax.dynamic_update_slice(D, head_new,
+                                             (zero, jnp.int32(n_log)))
+        else:
+            D = lax.dynamic_update_slice(D, D_subset, (zero, start))
+
+            def _fix_mirror(D):
+                wrapped = start + s - n_log   # columns past n (<=0: none)
+                head = lax.slice(D, (0, 0), (k, s))
+                mirror = lax.slice(D, (0, n_log), (k, n_log + s))
+                head = jnp.where(jnp.arange(s)[None, :] < wrapped,
+                                 mirror, head)
+                D = lax.dynamic_update_slice(D, head, (zero, zero))
+                return lax.dynamic_update_slice(
+                    D, head, (zero, jnp.int32(n_log)))
+
+            if 'nofix' not in _DRIVER_ABLATE:           # benchmarks only
+                needs_fix = (start < s) | (start + s > n_log)
+                D = lax.cond(needs_fix, _fix_mirror, lambda D: D, D)
     else:
         D = D.at[:, subset].set(D_subset)
     if cfg.G_agg == 'full' and not incremental_G:

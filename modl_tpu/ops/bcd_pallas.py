@@ -125,23 +125,33 @@ def supported(k, s, dtype, comp_l1_ratio):
     del comp_l1_ratio  # all geometries are covered
     if jnp.dtype(dtype) != jnp.float32:
         return False
-    # resident plan (see _panel_kernel): D is the one (k x s) buffer
-    # (aliased in/out); the gradient, folded-C rows and panel-C blocks
-    # are streamed per panel. Temporaries: G ring (2 blocks) + c8 +
-    # R_list values + output rows ~ 5 panel-rows of width s; Ttile and
-    # the W value are (p*fold, fold*k) each.
+    # the sequential panel grid slices D_out at row offsets that are
+    # multiples of fold * p; with p < PANEL_ATOMS Mosaic cannot prove
+    # 8-sublane alignment of the vector loads (measured: k=6 fails to
+    # compile on a real v5e). Tiny dictionaries take the lax path —
+    # they are latency-trivial anyway.
+    if k < PANEL_ATOMS:
+        return False
+    return vmem_footprint(k, s) <= VMEM_BUDGET
+
+
+def vmem_footprint(k, s):
+    """Model of the kernel's VMEM residency in bytes (f32).
+
+    Resident plan (see _panel_kernel): D is the one (k x s) buffer
+    (aliased in/out); the gradient, folded-C rows and panel-C blocks
+    are streamed per panel. Temporaries: G ring (2 blocks) + c8 +
+    R_list values + output rows ~ 5 panel-rows of width s; Ttile and
+    the W value are (p*fold, fold*k) each."""
     fold = FOLD if s >= FOLD_MIN_S else 1
     sp = -(-s // fold) * fold
     p = min(PANEL_ATOMS, max(k, 1))
     kp = -(-k // p) * p
-    vmem_bytes = 4 * (kp * sp
-                      + 5 * p * sp
-                      + 2 * p * fold * fold * kp
-                      + 2 * p * fold * kp
-                      + 4 * kp)
-    if vmem_bytes > VMEM_BUDGET:
-        return False
-    return True
+    return 4 * (kp * sp
+                + 5 * p * sp
+                + 2 * p * fold * fold * kp
+                + 2 * p * fold * kp
+                + 4 * kp)
 
 
 def max_block(k_total, s, dtype):

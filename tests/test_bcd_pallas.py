@@ -120,11 +120,13 @@ def test_block_driver_pallas_matches_lax_path():
     df.prepare(n_samples=4 * b, X=X)
     s = df._cfg.len_subset
     old_budget = bp.VMEM_BUDGET
-    # between the k=8 and k=16 whole-matrix footprints at this s
-    bp.VMEM_BUDGET = (2 * 8 * s + bp.FOLD * 8 * 8 + 8 * 8) * 4 + 256
+    # between the 8-row-block and whole-k=16 footprints at this s, so
+    # the driver must split into kernel-eligible (>= PANEL_ATOMS) blocks
+    bp.VMEM_BUDGET = (bp.vmem_footprint(8, s)
+                      + bp.vmem_footprint(k, s)) // 2
     try:
         assert not bp.supported(k, s, np.float32, 1.0)
-        assert 0 < bp.max_block(k, s, np.float32) < k
+        assert 8 <= bp.max_block(k, s, np.float32) < k
         states = {}
         for use_pallas in (True, False):
             cfg = dataclasses.replace(df._cfg, use_pallas=use_pallas)
@@ -150,6 +152,59 @@ def test_supported_gating():
     assert bp.supported(70, 16000, np.float32, 1.0)
     assert not bp.supported(70, 16000, np.float64, 0.0)   # f64
     assert not bp.supported(1024, 16000, np.float32, 0.0)  # VMEM budget
+    # sub-panel row counts: Mosaic cannot prove 8-sublane alignment of
+    # the panel slices (k=6 measured failing to compile on a real v5e);
+    # tiny dictionaries take the lax path
+    assert not bp.supported(6, 16000, np.float32, 0.0)
+    assert bp.supported(8, 16000, np.float32, 0.0)
+
+
+def test_block_driver_subpanel_tail_matches_lax():
+    """A tail block narrower than one panel (k % max_block in 1..7,
+    e.g. k=260 at the 256 cap) cannot run the Pallas kernel (sublane
+    alignment, cf. supported()); the driver must route just that block
+    through the lax body and still match the pure-lax trajectory.
+    Reproduced at toy scale: budget forces 16-row blocks at k=20 ->
+    blocks of 16 (kernel) + 4 (lax tail)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from modl_tpu import DictFact
+    from modl_tpu.decomposition._step import somf_step_jit
+
+    rng = np.random.RandomState(4)
+    k, n, b = 20, 128, 32
+    X = rng.randn(3 * b, n).astype(np.float32)
+    df = DictFact(n_components=k, reduction=2, code_alpha=1e-3,
+                  comp_l1_ratio=1.0, random_state=0, batch_size=b,
+                  dtype=np.float32)
+    df.prepare(n_samples=3 * b, X=X)
+    s = df._cfg.len_subset
+    old_budget = bp.VMEM_BUDGET
+    bp.VMEM_BUDGET = (bp.vmem_footprint(16, s)
+                      + bp.vmem_footprint(k, s)) // 2
+    try:
+        assert not bp.supported(k, s, np.float32, 1.0)
+        assert bp.max_block(k, s, np.float32) == 16
+        states = {}
+        for use_pallas in (True, False):
+            cfg = dataclasses.replace(df._cfg, use_pallas=use_pallas)
+            st = df._state
+            for step in range(3):
+                Xb = jnp.asarray(X[step * b:(step + 1) * b])
+                idx = jnp.arange(step * b, (step + 1) * b,
+                                 dtype=jnp.int32)
+                st = somf_step_jit(st, Xb, idx, cfg)
+            states[use_pallas] = st
+    finally:
+        bp.VMEM_BUDGET = old_budget
+    np.testing.assert_allclose(np.asarray(states[True].D),
+                               np.asarray(states[False].D),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(states[True].comp_norm),
+                               np.asarray(states[False].comp_norm),
+                               rtol=2e-4, atol=2e-5)
 
 
 def test_l1_projection_accuracy_both_regimes():
@@ -233,9 +288,10 @@ def test_prepermuted_driver_matches_gathered():
     df.prepare(n_samples=3 * b, X=X)
     s = df._cfg.len_subset
     old_budget = bp.VMEM_BUDGET
-    bp.VMEM_BUDGET = (2 * 8 * s + bp.FOLD * 8 * 8 + 8 * 8) * 4 + 256
+    bp.VMEM_BUDGET = (bp.vmem_footprint(8, s)
+                      + bp.vmem_footprint(k, s)) // 2
     try:
-        assert 0 < bp.max_block(k, s, np.float32) < k
+        assert 8 <= bp.max_block(k, s, np.float32) < k
         cfg = dataclasses.replace(df._cfg, use_pallas=True)
         states = {}
         for mode in ('gathered', 'prepermuted'):

@@ -111,7 +111,9 @@ def test_pallas_kernel_under_mesh_matches_single_device():
 
     rng = np.random.RandomState(0)
     X = rng.randn(64, 32).astype(np.float32)
-    df = DictFact(n_components=4, reduction=2, code_alpha=1e-3,
+    # k must be >= PANEL_ATOMS (8): smaller dictionaries are routed to
+    # the lax path (Mosaic sublane alignment, bcd_pallas.supported)
+    df = DictFact(n_components=8, reduction=2, code_alpha=1e-3,
                   comp_l1_ratio=0, random_state=0, batch_size=16,
                   dtype=np.float32)
     df.prepare(n_samples=64, X=X)
@@ -123,7 +125,7 @@ def test_pallas_kernel_under_mesh_matches_single_device():
     bcd_pallas.INTERPRET = True
     try:
         cfg1 = dataclasses.replace(df._cfg, use_pallas=True)
-        assert bcd_pallas.supported(4, df._cfg.len_subset, jnp.float32, 0.0)
+        assert bcd_pallas.supported(8, df._cfg.len_subset, jnp.float32, 0.0)
         ref = somf_step_jit(state, Xb, idx, cfg1)
 
         mesh = make_mesh(n_dp=4, n_feat=2)

@@ -89,6 +89,37 @@ def test_windowed_step_equals_gather_step(agg, start):
                                   np.asarray(outw.B)[:, :s])
 
 
+@pytest.mark.parametrize('start', [0, 117, 380])  # head / interior / wrap
+def test_writeback_forms_identical(start):
+    """The two windowed D write-back forms ('cond' round 3,
+    'purewrite' round 4 — selected by static D size in production,
+    _step._WRITEBACK='auto') produce bit-identical results on head,
+    interior and wrapping windows."""
+    import modl_tpu.decomposition._step as _step
+
+    X = _planted()
+    outs = {}
+    for form in ('cond', 'purewrite'):
+        old = _step._WRITEBACK
+        _step._WRITEBACK = form
+        try:
+            df = _prepared(X, True, Dx_agg='masked', G_agg='masked',
+                           rand_size=False)
+            Xw = df._ingest_features(jnp.asarray(X[:50], jnp.float32))
+            out = somf_step_inner(
+                df._state, Xw, jnp.arange(50, dtype=jnp.int32),
+                jnp.asarray(start, jnp.int32),
+                jnp.arange(6, dtype=jnp.int32), df._cfg)
+            outs[form] = np.asarray(out.D)
+        finally:
+            _step._WRITEBACK = old
+    np.testing.assert_array_equal(outs['cond'], outs['purewrite'])
+    # mirror invariant holds for both
+    n, s = X.shape[1], df._cfg.len_subset
+    np.testing.assert_array_equal(outs['cond'][:, n:],
+                                  outs['cond'][:, :s])
+
+
 def test_windowed_rand_size_step_masks_tail():
     """rand_size windows: only the first n_valid columns update."""
     X = _planted()
