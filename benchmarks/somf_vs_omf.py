@@ -156,6 +156,10 @@ def main():
                         'robustness)')
     args = p.parse_args()
     n_samples = args.n_samples
+    if n_samples % BATCH:
+        n_samples -= n_samples % BATCH
+        print('n-samples rounded down to %d (a multiple of the batch '
+              'size %d)' % (n_samples, BATCH))
 
     if args.host_data:
         Xall = _planted(n_samples + N_TEST, N_FEATURES, seed=args.seed)

@@ -168,15 +168,107 @@ class SomfConfig:
                                     # len_subset wide)
 
 
-def _subset_cols(A, subset, width, windowed):
+def _feat_count(cfg):
+    """Size of the mesh's feature axis (1 off-mesh / dp-only)."""
+    return cfg.mesh.shape.get('feat', 1) if cfg.mesh is not None else 1
+
+
+def _subset_cols(A, subset, width, cfg, rows_dp=False):
     """Columns of A addressed by a subset: a ``dynamic_slice`` window
     (windowed mode, ``subset`` is the scalar start; the mirror pad makes
-    circular windows contiguous) or a gather (index-array mode)."""
-    if windowed:
+    circular windows contiguous) or a gather (index-array mode). Under a
+    feat>1 mesh the window read runs shard-local + psum
+    (``_window_cols_feat``): a traced-start dynamic_slice on a sharded
+    axis would otherwise make GSPMD all-gather the full feature axis."""
+    if cfg.windowed:
+        if _feat_count(cfg) > 1:
+            return _window_cols_feat(A, subset, width, cfg,
+                                     rows_dp=rows_dp)
         start = jnp.asarray(subset, jnp.int32)
         return lax.dynamic_slice(A, (jnp.int32(0), start),
                                  (A.shape[0], width))
     return jnp.take(A, subset, axis=1)
+
+
+def _window_cols_feat(A, start, width, cfg, rows_dp=False):
+    """Window [start, start+width) of a feat-sharded 2-D array.
+
+    Each device slices the window's intersection with its contiguous
+    column shard out of a zero-padded copy of the shard (dynamic_slice
+    clamping lands non-overlapping devices entirely in the zero pad),
+    and one ``psum`` over 'feat' reassembles the exact (rows, width)
+    window — ICI moves only the window, never the feature axis. Adding
+    zeros is exact in floating point, so this is a pure layout change.
+    ``rows_dp``: keep the row axis dp-sharded (minibatch operands)."""
+    from jax.sharding import PartitionSpec as P
+    mesh = cfg.mesh
+
+    def read(A_loc, st):
+        rows, n_loc = A_loc.shape
+        off = st - lax.axis_index('feat') * n_loc
+        pad = jnp.zeros((rows, width), A_loc.dtype)
+        A_pad = jnp.concatenate([pad, A_loc, pad], axis=1)
+        # explicit clip: lax.dynamic_slice WRAPS negative starts
+        # (Python-style) rather than clamping them, so a far-off-shard
+        # window (off << -width) would alias real columns instead of
+        # landing in the zero pad
+        begin = jnp.clip(off + width, 0, n_loc + width)
+        sl = lax.dynamic_slice(A_pad, (jnp.int32(0), begin),
+                               (rows, width))
+        return lax.psum(sl, 'feat')
+
+    rs = ('dp' if rows_dp and A.shape[0] % mesh.shape.get('dp', 1) == 0
+          else None)
+    return jax.shard_map(read, mesh=mesh, in_specs=(P(rs, 'feat'), P()),
+                         out_specs=P(rs, None), check_vma=False)(
+        A, jnp.asarray(start, jnp.int32))
+
+
+def _windowed_writeback_feat(D, vals, head_new, start, cfg, n_log, s):
+    """Feat-sharded form of the windowed 'purewrite' write-back chain:
+    window write at ``start``, then the precomputed post-write head at
+    column 0 and at the mirror (column ``n_log``). Each device updates
+    only its own column shard with shard-local reads/writes of window
+    width (no full-width copies, no cross-device traffic: the values
+    are replicated inputs). Requires the per-shard width to hold a full
+    window (n_stored / feat >= s — gated in DictFact._make_config)."""
+    from jax.sharding import PartitionSpec as P
+    mesh = cfg.mesh
+    k = D.shape[0]
+
+    def write(D_loc, V, H, st):
+        n_loc = D_loc.shape[1]
+        base = lax.axis_index('feat') * n_loc
+
+        def put(D_loc, V, st0):
+            off = st0 - base
+            # the DUS start actually used; n_loc >= s by the config gate
+            t = jnp.clip(off, 0, n_loc - s)
+            d = off - t
+            # align V with the local region: the final content of local
+            # column t+j is V[:, t+j-off] = V[:, j-d]; clip to stay in
+            # the zero pads (lax.dynamic_slice WRAPS negative starts) —
+            # the no-overlap cases a clamp distorts are masked off below
+            Vpad = jnp.concatenate(
+                [jnp.zeros((k, s), V.dtype), V,
+                 jnp.zeros((k, s), V.dtype)], axis=1)
+            Vs = lax.dynamic_slice(
+                Vpad, (jnp.int32(0), jnp.clip(s - d, 0, 2 * s)), (k, s))
+            R = lax.dynamic_slice(D_loc, (jnp.int32(0), t), (k, s))
+            j = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+            g = base + t + j                     # global column ids
+            m = (g >= st0) & (g < st0 + s)
+            return lax.dynamic_update_slice(
+                D_loc, jnp.where(m, Vs, R), (jnp.int32(0), t))
+
+        D_loc = put(D_loc, V, st)
+        D_loc = put(D_loc, H, jnp.int32(0))
+        return put(D_loc, H, jnp.int32(n_log))
+
+    return jax.shard_map(write, mesh=mesh,
+                         in_specs=(P(None, 'feat'), P(), P(), P()),
+                         out_specs=P(None, 'feat'), check_vma=False)(
+        D, vals, head_new, jnp.asarray(start, jnp.int32))
 
 
 @precise
@@ -199,7 +291,7 @@ def _solve_code(state, X, sample_indices, w_sample, subset, cfg,
              if cfg.windowed else subset.shape[0])
 
     if cfg.Dx_agg != 'full' or cfg.G_agg != 'full':
-        D_subset = _subset_cols(D, subset, width, cfg.windowed)  # (k, s)
+        D_subset = _subset_cols(D, subset, width, cfg)  # (k, s)
         if n_valid is not None:
             valid = (jnp.arange(width) < n_valid)
             D_subset = D_subset * valid.astype(D.dtype)[None, :]
@@ -212,7 +304,8 @@ def _solve_code(state, X, sample_indices, w_sample, subset, cfg,
             n_log = cfg.n_features
             Dx = Dx - X[:, n_log:] @ D[:, n_log:].T
     else:
-        X_subset = _subset_cols(X, subset, width, cfg.windowed)  # (b, s)
+        X_subset = _subset_cols(X, subset, width, cfg,
+                                 rows_dp=True)  # (b, s)
         Dx = (X_subset @ D_subset.T) * reduction
         if cfg.Dx_agg == 'average':
             # Dx_avg (n, k) stays device-resident even in offload mode -
@@ -322,7 +415,7 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, order, cfg,
     s = (cfg.len_max if cfg.rand_size else cfg.len_subset) \
         if cfg.windowed else subset.shape[0]
     dtype = D.dtype
-    D_cols = _subset_cols(D, subset, s, cfg.windowed)    # (k, s)
+    D_cols = _subset_cols(D, subset, s, cfg)    # (k, s)
     if n_valid is not None:
         valid = (jnp.arange(s) < n_valid)
         validf = valid.astype(dtype)[None, :]
@@ -519,7 +612,14 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, order, cfg,
             D_subset = D_subset * 1.0   # keep the compute, skip writes
             return D, G, comp_norm
         form = _WRITEBACK
-        if form == 'auto':
+        if _feat_count(cfg) > 1:
+            # feat-sharded D: shard-local purewrite (the distributed
+            # write-back below); always the purewrite form — the cond's
+            # defensive carry copy and read-after-write both defeat
+            # in-place reuse of the sharded carry exactly as they do
+            # single-device
+            form = 'purewrite'
+        elif form == 'auto':
             d_bytes = D.shape[0] * D.shape[1] * jnp.dtype(dtype).itemsize
             form = ('cond' if d_bytes <= _WRITEBACK_COND_MAX_BYTES
                     else 'purewrite')
@@ -546,11 +646,18 @@ def _update_dict(D, G, comp_norm, C, grad_subset, subset, w, order, cfg,
             head_new = jnp.where(colh >= start, shift_win, head_pre)
             head_new = jnp.where(colh < start + s - n_log, shift_wrap,
                                  head_new)
-            D = lax.dynamic_update_slice(D, D_subset, (zero, start))
-            if 'nofix' not in _DRIVER_ABLATE:           # benchmarks only
-                D = lax.dynamic_update_slice(D, head_new, (zero, zero))
-                D = lax.dynamic_update_slice(D, head_new,
-                                             (zero, jnp.int32(n_log)))
+            if _feat_count(cfg) > 1:
+                # identical three-write chain, executed shard-local on
+                # the feat-sharded D (D_subset/head_new are replicated)
+                D = _windowed_writeback_feat(D, D_subset, head_new,
+                                             start, cfg, n_log, s)
+            else:
+                D = lax.dynamic_update_slice(D, D_subset, (zero, start))
+                if 'nofix' not in _DRIVER_ABLATE:       # benchmarks only
+                    D = lax.dynamic_update_slice(D, head_new,
+                                                 (zero, zero))
+                    D = lax.dynamic_update_slice(D, head_new,
+                                                 (zero, jnp.int32(n_log)))
         else:
             D = lax.dynamic_update_slice(D, D_subset, (zero, start))
 
@@ -644,13 +751,13 @@ def somf_step_inner(state: SomfState, X, sample_indices, subset, order,
     # EMA above is full-width linear in the mirror-padded X)
     width = cfg.len_max if cfg.rand_size else cfg.len_subset
     if deferred is None or cfg.optimizer != 'variational':
-        grad_subset = _subset_cols(B, subset, width, cfg.windowed)
+        grad_subset = _subset_cols(B, subset, width, cfg)
     else:
         # reconstruct the window of the up-to-date B without having
         # applied any full-width pass: rows of SC for future batches
         # are still zero and contribute nothing
-        Xwin = _subset_cols(Xseg, subset, width, True)
-        grad_subset = (pi * _subset_cols(B0, subset, width, True)
+        Xwin = _subset_cols(Xseg, subset, width, cfg)
+        grad_subset = (pi * _subset_cols(B0, subset, width, cfg)
                        + SC.T @ Xwin)
     D, G, comp_norm = _update_dict(
         state.D, state.G, state.comp_norm, C, grad_subset, subset, w,

@@ -320,11 +320,19 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
         windowed = (want in ('window', 'window-ordered')
                     or (want == 'auto'
                         and getattr(self, '_resident_fit', False)))
-        # dp-only meshes keep D/B replicated, so window slices stay
-        # local; a sharded feat axis would turn dynamic_slice into
-        # cross-device collectives -> gather mode there
-        mesh_ok = (self.mesh is None
-                   or self.mesh.shape.get('feat', 1) == 1)
+        # feat-sharded meshes: windows compose with the feature axis via
+        # shard-local reads + a (rows, width) psum and a shard-local
+        # write-back chain (_step.py::_window_cols_feat /
+        # _windowed_writeback_feat) — never a full-width collective. The
+        # machinery needs every shard to hold at least one full window
+        # (the stored width, padded up to a feat multiple in prepare,
+        # split per device); pathological meshes (feat wider than
+        # n_features/width) fall back to gather mode.
+        n_feat = (1 if self.mesh is None
+                  else self.mesh.shape.get('feat', 1))
+        n_stored = n_features + len_max
+        n_stored += (-n_stored) % n_feat
+        mesh_ok = n_feat == 1 or n_stored // n_feat >= len_max
         windowed = (windowed and mesh_ok
                     and len_subset < n_features
                     and n_features >= 2 * len_max)
@@ -433,7 +441,14 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
                 D = jnp.take(jnp.asarray(D, dtype),
                              jnp.asarray(self._feat_perm), axis=1)
             D = jnp.concatenate([D, D[:, :width]], axis=1)
-            B0 = jnp.zeros((k, n_features + width), dtype)
+            extra = self._windowed_extra_pad(n_features, width)
+            if extra:
+                # feat-sharded meshes: zero columns beyond the mirror pad
+                # make the stored width an even feat multiple; windows
+                # never read them and every full-width op is linear in
+                # zero columns, so they stay exactly zero
+                D = jnp.pad(D, ((0, 0), (0, extra)))
+            B0 = jnp.zeros((k, n_features + width + extra), dtype)
         else:
             self._feat_perm = self._feat_inv = None
             B0 = jnp.zeros((k, n_features), dtype)
@@ -562,6 +577,14 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
             X_dev = apply_permutation(X_dev, jnp.asarray(perm))
         return self
 
+    def _windowed_extra_pad(self, n_features, width):
+        """Zero columns beyond the mirror pad so feat-sharded windowed
+        storage splits evenly over the mesh's feature axis."""
+        if self.mesh is None:
+            return 0
+        n_feat = self.mesh.shape.get('feat', 1)
+        return (-(n_features + width)) % n_feat
+
     def _ingest_features(self, X_dev):
         """Windowed mode: reorder columns into the fixed feature order
         and append the mirror pad. Identity otherwise."""
@@ -573,7 +596,11 @@ class DictFact(_PickleStateMixin, CodingMixin, BaseEstimator):
             Xp = X_dev          # arrival order is the window order
         else:
             Xp = jnp.take(X_dev, jnp.asarray(self._feat_perm), axis=1)
-        return jnp.concatenate([Xp, Xp[:, :width]], axis=1)
+        out = jnp.concatenate([Xp, Xp[:, :width]], axis=1)
+        extra = self._windowed_extra_pad(cfg.n_features, width)
+        if extra:
+            out = jnp.pad(out, ((0, 0), (0, extra)))
+        return out
 
     def partial_fit(self, X, sample_indices=None):
         """Stream rows of X through the learner (dict_fact.py:313-337)."""

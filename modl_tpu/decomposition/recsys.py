@@ -110,7 +110,10 @@ def _pad_all_rows(X, n_features, dtype, n_dp=1):
     max_len = int(np.diff(X.indptr).max()) if X.nnz else 1
     P = _next_pow2(max(max_len, 1))
     itemsize = np.dtype(dtype).itemsize
-    if n_samples * P * (4 + itemsize) > n_dp * RESIDENT_BUDGET:
+    # budget the PADDED row count (rows are padded to a multiple of n_dp
+    # below, so the stored size is what must fit the per-device budget)
+    n_stored = n_samples + (-n_samples) % n_dp
+    if n_stored * P * (4 + itemsize) > n_dp * RESIDENT_BUDGET:
         return None
     rows = np.arange(n_samples)
     idx, val, lens32, _ = _pad_rows(X, rows, n_features, dtype, width=P)
@@ -123,6 +126,27 @@ def _pad_all_rows(X, n_features, dtype, n_dp=1):
             lens32 = np.concatenate([lens32, np.zeros((n_pad,), np.int32)])
         return idx, val, lens32, P
     return (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(lens32), P)
+
+
+def _check_contiguous_dp_shards(arr, mesh):
+    """Verify the layout invariant _make_resident_gather relies on:
+    under ``NamedSharding(mesh, P('dp'))`` each dp-axis position ``i``
+    holds the contiguous global rows [i * n_local, (i + 1) * n_local).
+    Cheap (host-side metadata only); raises instead of letting the
+    psum gather silently return all-zero rows."""
+    n_local = arr.shape[0] // mesh.shape['dp']
+    axis = list(mesh.axis_names).index('dp')
+    dev = np.moveaxis(mesh.devices, axis, 0).reshape(mesh.shape['dp'], -1)
+    dp_pos = {d: i for i in range(dev.shape[0]) for d in dev[i]}
+    for device, index in arr.sharding.devices_indices_map(arr.shape).items():
+        start = index[0].start or 0
+        want = dp_pos[device]
+        if start != want * n_local:
+            raise AssertionError(
+                'dp-sharded resident rows are not contiguous in dp-axis '
+                'order (device %r holds rows from %d, expected %d); the '
+                'resident psum gather would corrupt batches'
+                % (device, start, want * n_local))
 
 
 def _make_resident_gather(mesh, shard_batch_out):
@@ -147,6 +171,13 @@ def _make_resident_gather(mesh, shard_batch_out):
     n_dp = mesh.shape['dp']
 
     def gather(idx_all, val_all, lens_all, rows):
+        # Layout invariant: NamedSharding(P('dp')) over an evenly
+        # divisible leading axis places equal CONTIGUOUS row shards in
+        # dp-axis-index order, so device d holds global rows
+        # [d * n_local, (d + 1) * n_local). fit() verifies this against
+        # the actual devices_indices_map right after the device_put
+        # (_check_contiguous_dp_shards) — a silent break would otherwise
+        # return all-zero rows from this gather.
         d = lax.axis_index('dp')
         n_local = idx_all.shape[0]
         loc = rows - d * n_local
@@ -223,6 +254,37 @@ def _resident_steps_mesh(mesh, batch_size, n_dp):
         return D, C, B, comp_norm, feature_n_iter, n_iter, code
 
     return window_resident, batch_resident
+
+
+def _pallas_backend_ok():
+    """Whether the backend compiles Mosaic kernels (tests monkeypatch
+    this to exercise the kernel paths in interpreter mode on CPU)."""
+    return jax.default_backend() not in ('cpu',)
+
+
+def _union_bcd_kernel_call(use_pallas, Dm, grad, C, comp_norm, order):
+    """Invoke the VMEM-resident union-BCD kernel, mesh-aware.
+
+    ``use_pallas`` is True (single-device) or the ``jax.sharding.Mesh``
+    of an SPMD fit. GSPMD has no partitioning rule for the pallas
+    custom call, so under a mesh the call is wrapped in ``shard_map``
+    with fully-replicated specs, exactly like the SOMF step's
+    ``_step.py::_bcd_kernel_call``: the dictionary update is replicated
+    compute in the dp decomposition (the reference's analog is every
+    thread seeing the full dictionary, recsys.py:187-213), and any
+    sharded operands are all-gathered at entry (k x n over ICI)."""
+    from ..ops import bcd_pallas
+    kw = dict(comp_pos=False, l1_ratio=0.0)
+    if use_pallas is True:
+        return bcd_pallas.bcd_update(Dm, grad, C, comp_norm, order, **kw)
+    from jax.sharding import PartitionSpec as P
+
+    def run(Dm, grad, C, cn, order):
+        return bcd_pallas.bcd_update(Dm, grad, C, cn, order, **kw)
+
+    return jax.shard_map(run, mesh=use_pallas, in_specs=(P(),) * 5,
+                         out_specs=(P(), P()), check_vma=False)(
+        Dm, grad, C, comp_norm, order)
 
 
 @partial(jax.jit, static_argnames=("alpha",))
@@ -370,11 +432,10 @@ def _recsys_batch_step(D, C, B, comp_norm, feature_n_iter, n_iter, code_b,
         # delayed-update kernel takes the (masked) gradient directly
         # and reconstructs residual rows from Dm itself — the column
         # mask commutes with the C @ D contraction, so no residual
-        # GEMM is needed here either.
-        from ..ops import bcd_pallas
-        D_new, comp_norm = bcd_pallas.bcd_update(
-            Dm, B * union_f[None, :], C, comp_norm, order,
-            comp_pos=False, l1_ratio=0.0)
+        # GEMM is needed here either. ``use_pallas`` carries the mesh
+        # of an SPMD fit (shard_map-wrapped call, _union_bcd_kernel_call).
+        D_new, comp_norm = _union_bcd_kernel_call(
+            use_pallas, Dm, B * union_f[None, :], C, comp_norm, order)
         D = jnp.where(union[None, :], D_new, D)
         return D, C, B, comp_norm, feature_n_iter, n_iter_new
 
@@ -523,6 +584,11 @@ class RecsysDictFact(BaseEstimator):
 
     def fit(self, X, y=None):
         enable_compilation_cache()
+        if self.mesh is not None and 'dp' not in self.mesh.shape:
+            raise ValueError(
+                "RecsysDictFact(mesh=...) requires a mesh with a 'dp' "
+                "axis (got axes %r): the dataset and the batch ridge "
+                "solves shard over dp" % (tuple(self.mesh.axis_names),))
         if not sp.issparse(X):
             X = sp.csr_matrix(X)
         X = check_array(X, accept_sparse='csr',
@@ -602,15 +668,18 @@ class RecsysDictFact(BaseEstimator):
 
         # VMEM-resident Pallas kernel for the union-BCD (TPU, f32, the
         # full feature width fits the kernel's budget at recsys scales).
-        # Mesh runs keep the lax path: the pallas custom call has no
-        # GSPMD partitioning rule (cf. _step.py's shard_map wrapper).
+        # Mesh fits keep the kernel too: the call is shard_map-wrapped
+        # with replicated specs (_union_bcd_kernel_call), exactly like
+        # the SOMF step's _step.py::_bcd_kernel_call — ``use_pallas``
+        # then carries the (hashable) mesh through the jitted steps.
         from ..ops import bcd_pallas
-        use_pallas = (self.mesh is None
-                      and jax.default_backend() not in ('cpu',)
+        use_pallas = (_pallas_backend_ok()
                       and np.dtype(dtype) == np.float32
                       and bcd_pallas.supported(self.n_components,
                                                n_features, np.float32,
                                                0.0))
+        if use_pallas and self.mesh is not None:
+            use_pallas = self.mesh
 
         interactive = bool(self.verbose) or (self.callback is not None)
         window = 1 if interactive else 32
@@ -638,6 +707,7 @@ class RecsysDictFact(BaseEstimator):
                 resident = (jax.device_put(idx_all, row_shard),
                             jax.device_put(val_all, row_shard),
                             jax.device_put(lens_all, row_shard), P_res)
+                _check_contiguous_dp_shards(resident[0], self.mesh)
                 window_resident_fn, batch_resident_fn = \
                     _resident_steps_mesh(self.mesh, batch_size, n_dp)
         else:

@@ -3,14 +3,27 @@
 Reference: modl/input_data/fmri/unmask.py (MultiRawMasker). Pre-unmasked
 records are 2-D (n_frames, n_voxels) arrays on disk; transform is a
 (memory-mapped) load plus optional standardization — the fast path for
-TB-scale streaming where unmasking already happened offline.
+TB-scale streaming where unmasking already happened offline. Non-``.npy``
+inputs (NIfTI paths / image objects) fall back to the full nilearn
+masker exactly as the reference does (unmask.py:39-48, 91-109); without
+nilearn an image object's ``dataobj`` is still accepted natively.
 """
 import numpy as np
 from sklearn.base import BaseEstimator
 
+from . import base as _base
 from .base import NumpyMasker
 
 __all__ = ["MultiRawMasker"]
+
+
+def _mask_array(mask_img):
+    """Boolean 3-D mask from an ndarray / .npy path / NIfTI image."""
+    if mask_img is None or isinstance(mask_img, (np.ndarray, str)):
+        return mask_img
+    if hasattr(mask_img, 'dataobj'):    # NIfTI-like image object
+        return np.asanyarray(mask_img.dataobj) != 0
+    return mask_img
 
 
 class MultiRawMasker(BaseEstimator):
@@ -24,7 +37,7 @@ class MultiRawMasker(BaseEstimator):
         self.detrend = detrend
 
     def fit(self, imgs=None, y=None):
-        self._backing = NumpyMasker(mask_img=self.mask_img,
+        self._backing = NumpyMasker(mask_img=_mask_array(self.mask_img),
                                     standardize=self.standardize,
                                     detrend=self.detrend)
         if self.mask_img is not None:
@@ -33,23 +46,54 @@ class MultiRawMasker(BaseEstimator):
             self.n_voxels_ = self._backing.n_voxels_
         return self
 
+    def _nifti_fallback(self, imgs, confounds=None, raw=False):
+        """Reference fallback for non-.npy inputs (unmask.py:39-48):
+        delegate to the full nilearn masker when importable; otherwise
+        accept image objects natively through their ``dataobj``."""
+        if _base.HAS_NILEARN:
+            masker = getattr(self, '_nifti_masker_', None)
+            if masker is None:
+                masker = _base.MultiNiftiMasker(
+                    mask_img=self.mask_img,
+                    smoothing_fwhm=self.smoothing_fwhm,
+                    standardize=self.standardize, detrend=self.detrend)
+                masker.fit()
+                self._nifti_masker_ = masker
+            return masker.transform_single_imgs(imgs, confounds=confounds)
+        if hasattr(imgs, 'dataobj'):    # nibabel image without nilearn
+            data = np.asanyarray(imgs.dataobj)
+            return (self._backing.transform_raw(data) if raw
+                    else self._backing.transform(data, confounds=confounds))
+        raise ValueError(
+            'MultiRawMasker got a non-.npy input %r; handling NIfTI '
+            'paths requires nilearn (pass pre-unmasked .npy records or '
+            'ndarrays for the native path)' % (imgs,))
+
     def transform(self, imgs, confounds=None):
         if isinstance(imgs, (list, tuple)):
             return [self.transform(img, confounds) for img in imgs]
-        if isinstance(imgs, str) and imgs.endswith('.npy'):
+        if isinstance(imgs, str):
+            if not imgs.endswith('.npy'):
+                return self._nifti_fallback(imgs, confounds=confounds)
             data = np.load(imgs, mmap_mode='r')
+        elif isinstance(imgs, np.ndarray):
+            data = imgs
         else:
-            data = np.asarray(imgs)
+            return self._nifti_fallback(imgs, confounds=confounds)
         # NumpyMasker handles both 2-D (pre-unmasked) and 4-D inputs and
         # applies detrend/standardize/confounds uniformly
         return self._backing.transform(data, confounds=confounds)
 
     def transform_raw(self, imgs):
         """Mask-only load (see NumpyMasker.transform_raw)."""
-        if isinstance(imgs, str) and imgs.endswith('.npy'):
+        if isinstance(imgs, str):
+            if not imgs.endswith('.npy'):
+                return self._nifti_fallback(imgs, raw=True)
             data = np.load(imgs, mmap_mode='r')
+        elif isinstance(imgs, np.ndarray):
+            data = imgs
         else:
-            data = np.asarray(imgs)
+            return self._nifti_fallback(imgs, raw=True)
         return self._backing.transform_raw(data)
 
     def inverse_transform(self, components):

@@ -68,7 +68,14 @@ def _spec_for_leaf(path, leaf, mesh):
     # single-device by tests/test_parallel.py).
     sample_sharded = {'code', 'Dx_avg', 'G_avg', 'sample_n_iter'}
     if name in feature_sharded:
-        return feature_sharded[name]
+        spec = feature_sharded[name]
+        # replicate instead of erroring when the feature axis does not
+        # split evenly (windowed storage is padded to a feat multiple in
+        # DictFact.prepare; gather-mode widths may not divide)
+        if ('feat' in spec
+                and leaf.shape[-1] % mesh.shape.get('feat', 1) != 0):
+            return P()
+        return spec
     if name in sample_sharded:
         if _dp_ok(leaf.shape[0], mesh):
             return P('dp')
@@ -89,20 +96,25 @@ def _dp_ok(size, mesh):
     return size % mesh.shape.get('dp', 1) == 0
 
 
+def _feat_ok(size, mesh):
+    return size % mesh.shape.get('feat', 1) == 0
+
+
 def shard_batch(X, mesh, feat=False):
     """Shard a (b, n_features) minibatch: rows over dp, optionally
     features over feat. Batches not divisible by dp stay replicated on
-    the row axis (the odd remainder batch of an epoch)."""
+    the row axis (the odd remainder batch of an epoch); likewise a
+    non-divisible feature axis stays replicated."""
     dp = 'dp' if _dp_ok(X.shape[0], mesh) else None
-    spec = P(dp, 'feat') if feat else P(dp, None)
-    return jax.device_put(X, NamedSharding(mesh, spec))
+    ft = 'feat' if feat and _feat_ok(X.shape[-1], mesh) else None
+    return jax.device_put(X, NamedSharding(mesh, P(dp, ft)))
 
 
 def shard_batches(Xb, mesh, feat=False):
     """Shard stacked (n_batches, b, n_features) minibatches for scan."""
     dp = 'dp' if _dp_ok(Xb.shape[1], mesh) else None
-    spec = P(None, dp, 'feat') if feat else P(None, dp, None)
-    return jax.device_put(Xb, NamedSharding(mesh, spec))
+    ft = 'feat' if feat and _feat_ok(Xb.shape[-1], mesh) else None
+    return jax.device_put(Xb, NamedSharding(mesh, P(None, dp, ft)))
 
 
 def shard_indices(idx, mesh):
