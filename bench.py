@@ -545,12 +545,12 @@ def bench_fmri_epoch(extra):
             masker.standardize = True
             masker.detrend = True
 
-            def run():
+            def run(n_epochs=1):
                 fd = fMRIDictFact(
                     method='masked', n_components=N_COMPONENTS,
-                    reduction=REDUCTION, batch_size=BATCH, n_epochs=1,
-                    alpha=ALPHA, mask=masker, standardize=True,
-                    detrend=True, random_state=0)
+                    reduction=REDUCTION, batch_size=BATCH,
+                    n_epochs=n_epochs, alpha=ALPHA, mask=masker,
+                    standardize=True, detrend=True, random_state=0)
                 fd.fit(records)
                 return fd
 
@@ -563,6 +563,15 @@ def bench_fmri_epoch(extra):
             if not tag:
                 extra["fmri_io_s"] = round(fd.io_time_, 3)
                 extra["fmri_cpu_s"] = round(fd.cpu_time_, 3)
+                # multi-epoch: epochs >= 2 replay records from the
+                # device-resident cache (fmri.py::_RecordCache), so the
+                # steady-state epoch never touches the host link
+                t0 = time.perf_counter()
+                fd3 = run(n_epochs=3)
+                dt3 = time.perf_counter() - t0
+                extra["fmri_steady_epoch_samples_per_s"] = round(
+                    2 * n_rec * frames / max(dt3 - dt, 1e-9), 1)
+                extra["fmri_record_cache"] = fd3.record_cache_info_
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
@@ -679,9 +688,16 @@ def main():
     from modl_tpu.utils.system import enable_compilation_cache
     enable_compilation_cache()
     X = _data()
-    tpu_sps = bench_tpu(X)
+    # median-of-3 headline: the config was measured drifting -1.4%
+    # between rounds with a single run (VERDICT r4); three full slope
+    # measurements make run-to-run spread visible in the artifact
+    runs = [bench_tpu(X) for _ in range(3)]
+    tpu_sps = float(np.median(runs))
     base_sps = bench_numpy_baseline(X)
     extra = {}
+    extra["adhd70_runs"] = [round(r, 1) for r in sorted(runs)]
+    extra["adhd70_spread_pct"] = round(
+        100.0 * (max(runs) - min(runs)) / tpu_sps, 2)
     try:
         extra.update(bench_recsys())
     except Exception as e:                        # never break the line

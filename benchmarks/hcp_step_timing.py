@@ -35,6 +35,10 @@ def main():
     ap.add_argument('--driver', type=str, default='',
                     choices=['', 'gathered', 'prepermuted'],
                     help='block-driver layout A/B (_step._DRIVER_MODE)')
+    ap.add_argument('--emagemm', action='store_true',
+                    help='enable the segment-end EMA-GEMM Pallas kernel '
+                         '(ops/ema_gemm.py; off by default — measured '
+                         'net loss, see its module docstring) for A/Bs')
     ap.add_argument('--stub', type=str, default='',
                     choices=['', 'dict', 'kernel', 'affine'],
                     help="perf attribution (breaks exactness): 'dict' "
@@ -47,7 +51,9 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    from modl_tpu.ops import bcd_pallas
+    from modl_tpu.ops import bcd_pallas, ema_gemm
+    if args.emagemm:
+        ema_gemm.ENABLED = True
     if args.newton is not None:
         bcd_pallas.NEWTON_ITERS = args.newton
     if args.ablate:

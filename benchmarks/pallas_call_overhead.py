@@ -89,12 +89,14 @@ def bench(n_calls, reps_pair=(2, 8)):
         for _ in range(3):
             t0 = time.perf_counter()
             out = many(D_full, reps)
-            jax.block_until_ready(out)
+            # axon tunnel: block_until_ready returns early; a scalar
+            # fetch is the only reliable device sync (see skills/verify)
+            float(jnp.sum(out[0, :8]))
             best = min(best, time.perf_counter() - t0)
         return best
 
     for reps in reps_pair:
-        jax.block_until_ready(many(D_full, reps))
+        float(jnp.sum(many(D_full, reps)[0, :8]))
     lo, hi = reps_pair
     per_step = (timed(hi) - timed(lo)) / (hi - lo)
     return per_step * 1e3

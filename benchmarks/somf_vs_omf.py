@@ -87,6 +87,9 @@ def run_one(reduction, X, X_test_dev, dict_init, epochs):
                   batch_size=BATCH, random_state=0, dtype=np.float32,
                   subset_sampling='window', dict_init=dict_init)
     df.prepare(n_samples=n_samples, X=dict_init)
+    assert n_samples % BATCH == 0, (
+        "--n-samples must be a multiple of the batch size %d (got %d); "
+        "refusing to silently drop the tail rows" % (BATCH, n_samples))
     nb = n_samples // BATCH
     # one expression so the ingested intermediate (train + mirror pad)
     # is freed as soon as the batched view exists — at multi-GB train

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops import ema_gemm
 from ..ops.enet import enet_norm, enet_projection
 from ..ops.precision import precise
 from ..ops.sampler import (draw_subset, draw_subset_sized, draw_window,
@@ -967,8 +968,19 @@ def somf_scan(state: SomfState, X_batches, idx_batches, cfg: SomfConfig):
         (state, SC, pi, _), _ = lax.scan(
             body, (state, SC0, jnp.asarray(1.0, dtype), jnp.int32(0)),
             (Xs, Is))
-        # one full-width pass materialises the segment's B
-        state = state._replace(B=pi * B0 + SC.T @ Xseg)
+        # one full-width pass materialises the segment's B. An in-place
+        # Pallas EMA-GEMM alternative exists (ops/ema_gemm.py) but
+        # measured a ~0.4 ms/batch NET LOSS at HCP-1024 vs this dot
+        # (strided column-tile DMAs lose to XLA's one-time layout copy;
+        # A/B in its docstring) — it stays gated off by its ENABLED
+        # flag and this branch only engages for explicit A/Bs.
+        if (cfg.use_pallas and cfg.mesh is None
+                and ema_gemm.supported(k, B0.shape[1], Xseg.shape[0],
+                                       dtype)):
+            state = state._replace(
+                B=ema_gemm.ema_accumulate(B0, SC, Xseg, pi))
+        else:
+            state = state._replace(B=pi * B0 + SC.T @ Xseg)
         pos += L
     return state
 

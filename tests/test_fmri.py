@@ -371,3 +371,48 @@ def test_numpy_masker_auto_fit_on_2d_records():
                       method='masked', verbose=0)
     fm.fit(imgs)
     assert fm.components_.shape == (5, 500)
+
+
+def test_record_cache_multi_epoch(tmp_path, monkeypatch):
+    """Cross-epoch device-resident record cache (fmri.py::_RecordCache):
+    a multi-epoch raw-path fit must (a) replay every record from HBM in
+    epochs >= 2 (hits == (n_epochs - 1) * n_records), (b) produce the
+    bitwise-identical trajectory to a cache-disabled fit (the cache
+    stores the exact device array the stream produced), and (c) survive
+    LRU eviction under a budget smaller than the record set."""
+    import modl_tpu.decomposition.fmri as fmri_mod
+
+    data, mask, components, init = _make_dataset(n_subjects=3)
+    create_raw_rest_data(data, mask, str(tmp_path), standardize=False,
+                         detrend=False)
+    masker, records = get_raw_rest_data(str(tmp_path))
+
+    def run():
+        fd = fMRIDictFact(method='masked', n_components=4, reduction=2,
+                          batch_size=10, n_epochs=3, alpha=1e-3,
+                          mask=masker, standardize=False, detrend=False,
+                          random_state=0)
+        fd.fit(records)
+        return fd
+
+    fd_cached = run()
+    info = fd_cached.record_cache_info_
+    assert info['misses'] == len(records)              # epoch 1 only
+    assert info['hits'] == 2 * len(records)            # epochs 2-3
+    assert info['resident_bytes'] > 0
+
+    monkeypatch.setattr(fmri_mod, 'RECORD_CACHE_BYTES', 0)
+    fd_off = run()
+    assert not hasattr(fd_off, 'record_cache_info_')
+    np.testing.assert_array_equal(fd_cached.components_,
+                                  fd_off.components_)
+
+    # budget fits ~1 record -> constant eviction, trajectory unchanged
+    one_record = 40 * 400 * np.dtype(np.float32).itemsize
+    monkeypatch.setattr(fmri_mod, 'RECORD_CACHE_BYTES', one_record + 1)
+    fd_small = run()
+    info = fd_small.record_cache_info_
+    assert info['resident_bytes'] <= one_record + 1
+    assert info['misses'] > len(records)               # evictions re-miss
+    np.testing.assert_array_equal(fd_small.components_,
+                                  fd_off.components_)
