@@ -33,6 +33,9 @@ def main():
                     help='comma list: nocode,nobcd,nobema')
     ap.add_argument('--reps', type=int, default=3)
     ap.add_argument('--no-pallas', action='store_true')
+    ap.add_argument('--bema', type=str, default='',
+                    choices=['', 'dense', 'sort'],
+                    help='B-EMA formulation A/B (recsys.BEMA_MODE)')
     args = ap.parse_args()
     ablate = frozenset(a for a in args.ablate.split(',') if a)
 
@@ -42,6 +45,8 @@ def main():
 
     import modl_tpu.decomposition.recsys as rc
 
+    if args.bema:
+        rc.BEMA_MODE = args.bema
     if ablate:
         # monkeypatch BEFORE any jit traces
         if 'nocode' in ablate:
@@ -53,6 +58,10 @@ def main():
         if 'nobcd' in ablate:
             rc._union_bcd_kernel_call = (
                 lambda use_pallas, Dm, grad, C, cn, order: (Dm, cn))
+        if 'nobema' in ablate:
+            rc._b_ema_update = (
+                lambda B, fni, code_b, idx, val, lens, w, n_iter_new:
+                (B, fni))
 
     # ML-10M-scale synthetic (bench.py's exact config)
     sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -87,11 +96,11 @@ def main():
     assert resident is not None
     idx_all, val_all, lens_all, P = resident
     print('rows=%d P=%d batch=%d window=%d batches/epoch=%d '
-          'dispatches/epoch~%d pallas=%s ablate=%s'
+          'dispatches/epoch~%d pallas=%s ablate=%s bema=%s'
           % (n_samples, P, batch_size, window,
              int(np.ceil(n_samples / batch_size)),
              int(np.ceil(n_samples / batch_size / window)), use_pallas,
-             sorted(ablate)))
+             sorted(ablate), rc.BEMA_MODE), flush=True)
 
     def epoch(seed):
         nonlocal D, C, B, comp_norm, feature_n_iter, n_iter, code
@@ -124,12 +133,17 @@ def main():
                     use_pallas=use_pallas)
         float(jnp.sum(D[0, :8]) + n_iter)   # device sync
 
+    t0 = time.perf_counter()
     epoch(100)                               # compile + warm
+    print('warm_epoch_s=%.1f (incl. compile)'
+          % (time.perf_counter() - t0), flush=True)
     best = float('inf')
     for rep in range(args.reps):
         t0 = time.perf_counter()
         epoch(rep)
-        best = min(best, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        print('  rep%d=%.3f' % (rep, dt), flush=True)
+        best = min(best, dt)
     print('epoch_s=%.3f  (%.0f rows/s)' % (best, n_samples / best))
 
 

@@ -11,8 +11,10 @@ to bound recompiles) and one jitted step performs:
   ``(D_s D_s^T + alpha/reduction I) c = D_s x_s`` (recsys.py:168-180)
   as a batched Cholesky on the MXU,
 - the order-dependent per-feature EMA of B with weights
-  ``w_B = min(1, w n_iter / feature_n_iter)`` (recsys.py:182-185) as a
-  ``lax.scan`` over the batch rows (sequential semantics preserved),
+  ``w_B = min(1, w n_iter / feature_n_iter)`` (recsys.py:182-185) in
+  closed form over the whole batch (sequential semantics preserved:
+  per-column ranks + suffix decay products via dense cumulative ops,
+  ``_b_ema_update``),
 - the C EMA and a *masked full-width* block coordinate descent dictionary
   update over the union of supports (recsys.py:187-213): the union of a
   1/sparsity-sized batch covers O(n_features) columns, so full-width
@@ -287,49 +289,99 @@ def _union_bcd_kernel_call(use_pallas, Dm, grad, C, comp_norm, order):
         Dm, grad, C, comp_norm, order)
 
 
-@partial(jax.jit, static_argnames=("alpha",))
-@precise
-def _masked_ridge_codes(D, idx, val, lens, alpha):
-    """Vmapped masked ridge solves; rows with empty support -> zero code.
+# B-EMA evaluation strategy: 'dense' computes the per-entry ranks and
+# suffix decay products as cumulative ops over a dense (b, n) scatter
+# of the batch (two VPU cumsum/cumprod passes — the dense scatter
+# already exists for the final GEMM, so this adds no asymptotic
+# memory); 'sort' is the original (col, row) lexicographic sort +
+# segmented associative scan over the padded entries. Identical math,
+# identical serial semantics, different (both non-serial) association
+# order — parity vs the serial numpy oracle is pinned for BOTH in
+# tests/test_recsys_parity.py. TPU sorts are multi-pass bitonic and
+# measured ~2x the dense formulation at ML-10M shapes
+# (benchmarks/recsys_trace.py --bema). Read at trace time: flip only
+# before the first jitted step (the A/B harness does).
+BEMA_MODE = 'dense'
 
-    D (k, n); idx/val (b, P) padded; lens (b,). recsys.py:168-180.
+
+def _b_ema_entries(B, idx, val, lens):
+    """Flatten the padded batch to per-entry (row, col, val, valid)
+    vectors; pad/invalid entries route to the dump column ``n + 1``."""
+    n = B.shape[1]
+    b, P = idx.shape
+    rows_e = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None],
+                              (b, P)).reshape(-1)
+    cols_e = idx.reshape(-1).astype(jnp.int32)          # pad index == n
+    vals_e = val.reshape(-1)
+    valid_e = (jnp.arange(P, dtype=jnp.int32)[None, :]
+               < lens[:, None]).reshape(-1)
+    cols_key = jnp.where(valid_e, cols_e, jnp.int32(n + 1))
+    return rows_e, cols_e, vals_e, valid_e, cols_key
+
+
+def _b_ema_dense(B, feature_n_iter, code_b, idx, val, lens, w, n_iter_new):
+    """Order-dependent B EMA via dense cumulative ops (``BEMA_MODE ==
+    'dense'``, the default — see the flag's comment).
+
+    The serial semantics (reference recsys.py:182-185: row j's weight
+    uses the post-increment visit count, later rows decay earlier
+    contributions) only couple entries within a column, in row order —
+    exactly a per-column prefix/suffix problem. On the dense (b, n)
+    scatter the per-entry rank is an exclusive cumsum of the occupancy
+    down the rows, and the exclusive suffix decay product is a reversed
+    cumprod (absent entries contribute exact-noop factors of 1.0).
     """
-    k, n = D.shape
-    # gather support columns as ROWS of D^T: a column gather of the
-    # row-major (k, n) dictionary touches ~k/8 separate HBM tiles per
-    # entry (measured ~7x the useful bytes at recsys shapes), while a
-    # row gather of the transposed (n, k) layout reads one
-    # tile-contiguous run per entry; the 2 MB transpose per batch is
-    # noise next to the saved gather traffic
-    Dt = D.T                                           # (n, k)
-    Dg = jnp.take(Dt, idx, axis=0, fill_value=0.0)     # (b, P, k)
-    Dx = jnp.einsum('bpk,bp->bk', Dg, val)
-    G = jnp.einsum('bpk,bpq->bkq', Dg, Dg)
-    lens_f = jnp.maximum(lens, 1).astype(D.dtype)
-    reduction = n / lens_f
-    ridge = alpha / reduction
-    eye = jnp.eye(k, dtype=D.dtype)
-    G = G + ridge[:, None, None] * eye
-    # SPD solve via Cholesky (LU is unsupported for f64 on TPU and slower)
-    chol = jax.vmap(lambda M: jax.scipy.linalg.cholesky(M, lower=True))(G)
-    code = jax.vmap(
-        lambda c, d: jax.scipy.linalg.cho_solve((c, True), d))(chol, Dx)
-    return jnp.where((lens > 0)[:, None], code, 0.0)
+    k, n = B.shape
+    b, _ = idx.shape
+    dtype = B.dtype
+    rows_e, _, _, _, cols_key = _b_ema_entries(B, idx, val, lens)
+
+    occ = jnp.zeros((b, n + 2), dtype).at[rows_e, cols_key].set(1.0)
+    xv = jnp.zeros((b, n + 2), dtype).at[rows_e, cols_key].set(
+        val.reshape(-1))
+    # Hillis-Steele log-shift passes, NOT jnp.cumsum/cumprod (XLA lowers
+    # the cumulative primitives on TPU via reduce_window — O(b^2 n)
+    # reads, measured ~0.5 ms/batch each at ML-10M shapes) and NOT
+    # lax.associative_scan (its odd-length recursive slicing blew the
+    # 1-core compile past 15 min at these shapes): ceil(log2(b))
+    # unrolled pad+op passes over the (b, n) plane compile flat and
+    # stream ~2 planes/pass
+    def _prefix_sum(x):                    # inclusive, axis 0
+        shift = 1
+        while shift < x.shape[0]:
+            x = x + jnp.pad(x, ((shift, 0), (0, 0)))[:x.shape[0]]
+            shift *= 2
+        return x
+
+    def _suffix_prod(x):                   # inclusive, axis 0
+        shift = 1
+        while shift < x.shape[0]:
+            x = x * jnp.pad(x, ((0, shift), (0, 0)),
+                            constant_values=1.0)[shift:]
+            shift *= 2
+        return x
+
+    csum = _prefix_sum(occ)
+    rank = csum - occ                      # exclusive: earlier rows only
+    fni_ext = jnp.concatenate(
+        [feature_n_iter, jnp.zeros((2,), feature_n_iter.dtype)])
+    count = fni_ext[None, :].astype(dtype) + rank + 1.0
+    w_rc = jnp.minimum(1.0, w * n_iter_new.astype(dtype)
+                       / jnp.maximum(count, 1.0)) * occ
+    q = 1.0 - w_rc
+    sfx = _suffix_prod(q)                  # inclusive suffix
+    sfx_excl = jnp.concatenate(
+        [sfx[1:], jnp.ones((1, n + 2), dtype)], axis=0)
+    B = B * sfx[0, :n][None, :] + code_b.T @ (w_rc * xv * sfx_excl)[:, :n]
+    feature_n_iter = feature_n_iter + csum[-1, :n].astype(
+        feature_n_iter.dtype)
+    return B, feature_n_iter
 
 
-@partial(jax.jit, static_argnames=("learning_rate", "use_pallas"))
-@precise
-def _recsys_batch_step(D, C, B, comp_norm, feature_n_iter, n_iter, code_b,
-                       idx, val, lens, order, learning_rate,
-                       use_pallas=False):
-    """One batch update after the codes are solved. Returns new state.
-
-    The reference walks batch rows sequentially because its per-feature
-    B EMA is order-dependent (recsys.py:157-185): row j's weight
-    ``w_B = min(1, w n_iter / fni_c)`` uses the visit count *after* its
-    own increment, and later rows touching the same column decay
-    earlier rows' contributions. Here the identical serial semantics
-    are evaluated in closed form over all batch entries at once:
+def _b_ema_sort(B, feature_n_iter, code_b, idx, val, lens, w, n_iter_new):
+    """Order-dependent B EMA via (col, row) sort + segmented scan
+    (``BEMA_MODE == 'sort'`` — kept for the A/B and as the reference
+    formulation the dense path is tested against):
 
         B[:, c] <- B[:, c] * prod_j q_j
                    + sum_j (w_j code_j x_j) * prod_{l > j} q_l,
@@ -341,27 +393,12 @@ def _recsys_batch_step(D, C, B, comp_norm, feature_n_iter, n_iter, code_b,
     update is a single (k, b) x (b, n) MXU GEMM plus a per-column
     scale — no sequential scan (exactness pinned by
     tests/test_recsys_parity.py against the serial numpy oracle).
-
-    C EMA + masked full-width BCD on the union of supports follow
-    (recsys.py:159-213); on TPU/f32 the BCD runs in the VMEM-resident
-    Pallas kernel (``use_pallas``, decided by the estimator: n fits the
-    kernel budget at recsys widths).
     """
-    k, n = D.shape
-    b, P = idx.shape
-    dtype = D.dtype
-    n_iter_new = n_iter + b
-    w = jnp.asarray(batch_weight(n_iter_new, b, learning_rate, 0.0,
-                                 dtype=dtype), dtype)
-
-    # --- flatten batch entries (one per stored (row, col)) ---
-    rows_e = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None],
-                              (b, P)).reshape(-1)
-    cols_e = idx.reshape(-1).astype(jnp.int32)          # pad index == n
-    vals_e = val.reshape(-1)
-    valid_e = (jnp.arange(P, dtype=jnp.int32)[None, :]
-               < lens[:, None]).reshape(-1)
-    cols_key = jnp.where(valid_e, cols_e, jnp.int32(n + 1))
+    k, n = B.shape
+    b, _ = idx.shape
+    dtype = B.dtype
+    rows_e, _, vals_e, valid_e, cols_key = _b_ema_entries(
+        B, idx, val, lens)
 
     # sort by (col, row): each column's entries land contiguous, in row
     # order — exactly the serial visit order
@@ -413,6 +450,75 @@ def _recsys_batch_step(D, C, B, comp_norm, feature_n_iter, n_iter, code_b,
     feature_n_iter = feature_n_iter + jnp.zeros(
         (n + 2,), feature_n_iter.dtype).at[cols_key].add(
         valid_e.astype(feature_n_iter.dtype))[:n]
+    return B, feature_n_iter
+
+
+def _b_ema_update(B, feature_n_iter, code_b, idx, val, lens, w, n_iter_new):
+    impl = _b_ema_dense if BEMA_MODE == 'dense' else _b_ema_sort
+    return impl(B, feature_n_iter, code_b, idx, val, lens, w, n_iter_new)
+
+
+@partial(jax.jit, static_argnames=("alpha",))
+@precise
+def _masked_ridge_codes(D, idx, val, lens, alpha):
+    """Vmapped masked ridge solves; rows with empty support -> zero code.
+
+    D (k, n); idx/val (b, P) padded; lens (b,). recsys.py:168-180.
+    """
+    k, n = D.shape
+    # gather support columns as ROWS of D^T: a column gather of the
+    # row-major (k, n) dictionary touches ~k/8 separate HBM tiles per
+    # entry (measured ~7x the useful bytes at recsys shapes), while a
+    # row gather of the transposed (n, k) layout reads one
+    # tile-contiguous run per entry; the 2 MB transpose per batch is
+    # noise next to the saved gather traffic
+    Dt = D.T                                           # (n, k)
+    Dg = jnp.take(Dt, idx, axis=0, fill_value=0.0)     # (b, P, k)
+    Dx = jnp.einsum('bpk,bp->bk', Dg, val)
+    G = jnp.einsum('bpk,bpq->bkq', Dg, Dg)
+    lens_f = jnp.maximum(lens, 1).astype(D.dtype)
+    reduction = n / lens_f
+    ridge = alpha / reduction
+    eye = jnp.eye(k, dtype=D.dtype)
+    G = G + ridge[:, None, None] * eye
+    # SPD solve via Cholesky (LU is unsupported for f64 on TPU and slower)
+    chol = jax.vmap(lambda M: jax.scipy.linalg.cholesky(M, lower=True))(G)
+    code = jax.vmap(
+        lambda c, d: jax.scipy.linalg.cho_solve((c, True), d))(chol, Dx)
+    return jnp.where((lens > 0)[:, None], code, 0.0)
+
+
+@partial(jax.jit, static_argnames=("learning_rate", "use_pallas"))
+@precise
+def _recsys_batch_step(D, C, B, comp_norm, feature_n_iter, n_iter, code_b,
+                       idx, val, lens, order, learning_rate,
+                       use_pallas=False):
+    """One batch update after the codes are solved. Returns new state.
+
+    The reference walks batch rows sequentially because its per-feature
+    B EMA is order-dependent (recsys.py:157-185): row j's weight
+    ``w_B = min(1, w n_iter / fni_c)`` uses the visit count *after* its
+    own increment, and later rows touching the same column decay
+    earlier rows' contributions. Here the identical serial semantics
+    are evaluated in closed form over all batch entries at once
+    (``_b_ema_update``: dense cumulative ops by default, the sort +
+    segmented-scan formulation behind ``BEMA_MODE`` — both pinned
+    against the serial numpy oracle by tests/test_recsys_parity.py).
+
+    C EMA + masked full-width BCD on the union of supports follow
+    (recsys.py:159-213); on TPU/f32 the BCD runs in the VMEM-resident
+    Pallas kernel (``use_pallas``, decided by the estimator: n fits the
+    kernel budget at recsys widths).
+    """
+    k, n = D.shape
+    b, P = idx.shape
+    dtype = D.dtype
+    n_iter_new = n_iter + b
+    w = jnp.asarray(batch_weight(n_iter_new, b, learning_rate, 0.0,
+                                 dtype=dtype), dtype)
+
+    B, feature_n_iter = _b_ema_update(B, feature_n_iter, code_b, idx,
+                                      val, lens, w, n_iter_new)
 
     # --- C EMA over the batch codes (recsys.py:159-160) ---
     C = C * (1.0 - w) + (w / b) * (code_b.T @ code_b)

@@ -107,6 +107,35 @@ def test_recsys_batch_step_matches_numpy():
     np.testing.assert_array_equal(np.asarray(fnid), fni)
 
 
+def test_b_ema_dense_matches_sort():
+    """The two B-EMA formulations (recsys.py::BEMA_MODE) must agree:
+    dense cumulative ops vs (col, row) sort + segmented scan, both
+    evaluating the same serial per-column semantics. The dense path is
+    oracle-pinned via test_recsys_batch_step_matches_numpy (it is the
+    default inside _recsys_batch_step); this pins the sort path to it
+    so the A/B flag never drifts."""
+    from modl_tpu.decomposition.recsys import _b_ema_dense, _b_ema_sort
+
+    rng = np.random.RandomState(3)
+    n_samples, n, k, b = 50, 37, 5, 11
+    X = sp.random(n_samples, n, density=0.25, random_state=3,
+                  format='csr')
+    X.data += 0.5
+    B0 = rng.randn(k, n)
+    code_b = rng.randn(b, k)
+    fni0 = rng.randint(0, 5, size=n).astype(np.int32)
+    rows = rng.permutation(n_samples)[:b]
+    idx, val, lens, P = _pad_rows(X, rows, n, np.float64)
+    args = (jnp.asarray(B0), jnp.asarray(fni0), jnp.asarray(code_b),
+            jnp.asarray(idx), jnp.asarray(val), jnp.asarray(lens),
+            jnp.asarray(0.3), jnp.asarray(b + 7, jnp.int32))
+    B_d, fni_d = _b_ema_dense(*args)
+    B_s, fni_s = _b_ema_sort(*args)
+    np.testing.assert_allclose(np.asarray(B_d), np.asarray(B_s),
+                               atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(fni_d), np.asarray(fni_s))
+
+
 def test_recsys_batch_step_pallas_matches_lax():
     """use_pallas=True routes the union-BCD through the VMEM kernel
     (interpret mode on CPU); trajectory must match the lax path."""
