@@ -39,6 +39,16 @@ def main():
                     help='enable the segment-end EMA-GEMM Pallas kernel '
                          '(ops/ema_gemm.py; off by default — measured '
                          'net loss, see its module docstring) for A/Bs')
+    ap.add_argument('--n-samples', type=int, default=None,
+                    help='stream length per fused scan (default: 1200 '
+                         'HCP / 2000 ADHD). Longer streams lengthen the '
+                         'deferred-B segment (_step._deferred_seg caps '
+                         'it at 2n/3s, 16): the full-width B pass and '
+                         'its layout copies amortise over more batches')
+    ap.add_argument('--seg', type=int, default=None,
+                    help='deferred-B segment length override '
+                         '(_step._SEG_OVERRIDE); exact math at any '
+                         'value — a pure summation reorder')
     ap.add_argument('--stub', type=str, default='',
                     choices=['', 'dict', 'kernel', 'affine'],
                     help="perf attribution (breaks exactness): 'dict' "
@@ -67,6 +77,8 @@ def main():
 
     if args.dablate:
         _step._DRIVER_ABLATE = frozenset(args.dablate.split(','))
+    if args.seg is not None:
+        _step._SEG_OVERRIDE = args.seg
     if args.driver:
         _step._DRIVER_MODE = args.driver
     if args.stub == 'dict':
@@ -90,6 +102,9 @@ def main():
     else:
         reduction, batch = 20, 200
         n_samples, n_features = 1200, 200_000
+    if args.n_samples is not None:
+        n_samples = args.n_samples
+        assert n_samples % batch == 0, "n-samples must be a batch multiple"
     rng = np.random.RandomState(0)
     X = rng.randn(n_samples, n_features).astype(np.float32)
     df = DictFact(n_components=args.k, reduction=reduction,
@@ -123,7 +138,9 @@ def main():
         float(jnp.sum(st.D[0, :8]) + st.n_iter)
     per_epoch = (timed(args.hi) - timed(args.lo)) / (args.hi - args.lo)
     ms_batch = per_epoch / nb * 1e3
-    print(f"k={args.k} newton={args.newton or bcd_pallas.NEWTON_ITERS} "
+    print(f"k={args.k} n={n_samples} "
+          f"seg={_step._deferred_seg(cfg, nb)} "
+          f"newton={args.newton or bcd_pallas.NEWTON_ITERS} "
           f"ablate={sorted(bcd_pallas._ABLATE)} stub={args.stub!r} "
           f"dablate={sorted(_step._DRIVER_ABLATE)} "
           f"driver={_step._DRIVER_MODE} fold={'off' if args.foldoff else 'on'}: "

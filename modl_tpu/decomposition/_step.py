@@ -81,6 +81,12 @@ def _host_scatter_set(arr, idx, val):
 # ({'gather', 'gemm', 'scatter'}; see benchmarks/hcp_step_timing.py)
 _DRIVER_ABLATE = frozenset()
 
+# deferred-B segment-length override for on-device A/Bs
+# (benchmarks/hcp_step_timing.py --seg). None = _deferred_seg's model.
+# Exact math at any value (the segmentation is a summation reorder,
+# pinned by tests/test_windowed.py), so this knob never breaks parity.
+_SEG_OVERRIDE = None
+
 # block-driver layout: 'gathered' = per-block row gathers/scatters at
 # dynamic visit-order indices; 'prepermuted' = permute all operands
 # into visit order once, static slices + dynamic_update_slice at
@@ -922,6 +928,8 @@ def _deferred_seg(cfg, n_batches):
     ~2/3 of the amortised full-width GEMM (b*k*n MACs)."""
     if not (cfg.windowed and cfg.optimizer == 'variational'):
         return 0
+    if _SEG_OVERRIDE is not None:
+        return int(min(_SEG_OVERRIDE, n_batches))
     width = cfg.len_max if cfg.rand_size else cfg.len_subset
     seg = (2 * cfg.n_features) // (3 * max(width, 1))
     return int(max(0, min(seg, 16, n_batches)))
